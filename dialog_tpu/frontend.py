@@ -1,0 +1,306 @@
+"""ORB-style feature frontend, TPU-first.
+
+Replaces the reference's ORB extractor (canonical ``src/ORBextractor.cc`` —
+SURVEY.md §2.1): 8-level image pyramid, FAST-9 corner detection, quadtree
+keypoint distribution, intensity-centroid orientation, and 256-bit rotated
+binary descriptors. Design departures (SURVEY.md §7.1):
+
+* FAST segment test + score are computed for *every pixel at once* as a
+  circular sliding-window min/max over 16 shifted copies of the level image —
+  no per-pixel branching, pure VPU work. The score equals OpenCV's definition
+  (max threshold at which the pixel stays a corner).
+* The quadtree ``DistributeOctTree`` is replaced by per-cell top-K response
+  selection (same spatial-uniformity goal, static shapes).
+* Descriptors use a fixed seeded Gaussian BRIEF pattern instead of OpenCV's
+  learned table; the engine is self-contained (its own vocabulary, its own
+  matching) so cross-library bit compatibility is unnecessary. Samples are
+  taken from per-keypoint 31x31 patch tensors (contiguous dynamic slices),
+  turning 512 scattered image gathers per keypoint into one small
+  ``take_along_axis`` — the TPU-friendly layout.
+
+Everything here is shape-static given an ``EngineConfig`` and jit-compatible;
+``extract_features`` is the jitted entry.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import EngineConfig
+from .containers import FrameArrays
+
+# 16-pixel Bresenham circle of radius 3, circularly ordered (dx, dy).
+_CIRCLE = np.array(
+    [
+        (3, 0), (3, 1), (2, 2), (1, 3), (0, 3), (-1, 3), (-2, 2), (-3, 1),
+        (-3, 0), (-3, -1), (-2, -2), (-1, -3), (0, -3), (1, -3), (2, -2), (3, -1),
+    ],
+    dtype=np.int32,
+)
+
+PATCH_R = 15          # orientation / descriptor patch radius
+PATCH = 2 * PATCH_R + 1
+BORDER = PATCH_R + 4  # keep full patches inside the image (+blur margin)
+
+
+def _brief_pattern(n_bits: int = 256, seed: int = 1234) -> np.ndarray:
+    """Fixed Gaussian BRIEF sampling pattern: (n_bits, 2, 2) int offsets.
+
+    BRIEF-style isotropic Gaussian (sigma = patch/5), clipped to the patch.
+    Deterministic across runs; baked into the compiled kernel as a constant.
+    """
+    rng = np.random.RandomState(seed)
+    pts = rng.randn(n_bits, 2, 2) * (PATCH / 5.0)
+    return np.clip(np.round(pts), -PATCH_R + 1, PATCH_R - 1).astype(np.float32)
+
+
+_PATTERN = _brief_pattern()
+
+# Circular mask for the intensity-centroid moments.
+_yy, _xx = np.mgrid[-PATCH_R : PATCH_R + 1, -PATCH_R : PATCH_R + 1]
+_CIRC_MASK = ((_xx**2 + _yy**2) <= PATCH_R**2 + 1).astype(np.float32)
+_MOM_X = (_xx * _CIRC_MASK).astype(np.float32)
+_MOM_Y = (_yy * _CIRC_MASK).astype(np.float32)
+
+
+def level_shapes(cfg: EngineConfig) -> list[tuple[int, int]]:
+    """Static (H, W) per pyramid level."""
+    shapes = []
+    for l in range(cfg.n_levels):
+        s = cfg.scale_factor**l
+        shapes.append((max(int(round(cfg.height / s)), 2 * BORDER + 8),
+                       max(int(round(cfg.width / s)), 2 * BORDER + 8)))
+    return shapes
+
+
+def features_per_level(cfg: EngineConfig) -> list[int]:
+    """Geometric split of n_features over levels (reference: ORBextractor ctor)."""
+    inv = 1.0 / cfg.scale_factor
+    total = (1 - inv) / (1 - inv**cfg.n_levels)
+    counts = [int(round(cfg.n_features * total * inv**l)) for l in range(cfg.n_levels - 1)]
+    counts.append(max(cfg.n_features - sum(counts), 1))
+    return counts
+
+
+def resize_bilinear(img: jax.Array, shape: tuple[int, int]) -> jax.Array:
+    return jax.image.resize(img, shape, method="bilinear")
+
+
+def build_pyramid(img: jax.Array, cfg: EngineConfig) -> list[jax.Array]:
+    """f32[H, W] -> list of per-level images (static shapes)."""
+    levels = [img]
+    shapes = level_shapes(cfg)
+    for l in range(1, cfg.n_levels):
+        levels.append(resize_bilinear(levels[-1], shapes[l]))
+    return levels
+
+
+def gaussian_blur(img: jax.Array, sigma: float = 2.0, radius: int = 3) -> jax.Array:
+    """Separable Gaussian blur (reference blurs before descriptor sampling)."""
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = jnp.asarray(k / k.sum())
+    pad = [(radius, radius), (0, 0)]
+    v = jnp.pad(img, pad, mode="edge")
+    v = jnp.einsum("k,kij->ij", k, jnp.stack([v[i : i + img.shape[0]] for i in range(2 * radius + 1)]))
+    h = jnp.pad(v, [(0, 0), (radius, radius)], mode="edge")
+    h = jnp.einsum("k,kij->ij", k, jnp.stack([h[:, i : i + img.shape[1]] for i in range(2 * radius + 1)]))
+    return h
+
+
+def fast_score(img: jax.Array) -> jax.Array:
+    """FAST-9 corner score for every pixel (0 where not a corner at t=0).
+
+    score = max over the 16 window starts of (min over 9 contiguous circle
+    pixels of the signed center difference), evaluated for both bright and
+    dark arcs. A pixel passes FAST at threshold t iff score > t.
+    """
+    H, W = img.shape
+    p = jnp.pad(img, 3, mode="edge")
+    neigh = jnp.stack(
+        [p[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] for dx, dy in _CIRCLE]
+    )  # [16, H, W]
+    diff = neigh - img[None]
+
+    def run9_min(d):
+        # min over 9 circularly-consecutive entries, for each of 16 starts
+        m1 = d
+        m2 = jnp.minimum(m1, jnp.roll(m1, -1, axis=0))
+        m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))
+        m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=0))
+        m9 = jnp.minimum(m8, jnp.roll(m1, -8, axis=0))
+        return jnp.max(m9, axis=0)
+
+    bright = run9_min(diff)      # >0 iff some 9-arc is uniformly brighter
+    dark = run9_min(-diff)
+    return jnp.maximum(bright, dark)
+
+
+def _nms3(score: jax.Array) -> jax.Array:
+    """3x3 non-maximum suppression; keeps strict local maxima."""
+    mx = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(score >= mx, score, 0.0)
+
+
+def detect_level(
+    img_l: jax.Array, n_take: int, th_fast: float, min_th_fast: float, cell: int = 16
+):
+    """Detect up to n_take FAST keypoints on one level with spatial uniformity.
+
+    Returns (uv f32[n_take, 2] level coords, score f32[n_take], valid bool).
+    Two-tier threshold as in the reference (iniThFAST with minThFAST fallback):
+    per cell, high-threshold corners outrank low-threshold ones regardless of
+    raw response, implemented as a score bonus instead of a second FAST pass.
+    """
+    H, W = img_l.shape
+    s = fast_score(img_l)
+    s = _nms3(s)
+    # border mask
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    inb = (ys >= BORDER) & (ys < H - BORDER) & (xs >= BORDER) & (xs < W - BORDER)
+    s = jnp.where(inb, s, 0.0)
+    # two-tier: score 0 below min threshold; +1000 bonus above the high one
+    passed = s > min_th_fast
+    rank = jnp.where(passed, s + jnp.where(s > th_fast, 1000.0, 0.0), 0.0)
+
+    # per-cell top-k
+    Hc, Wc = -(-H // cell), -(-W // cell)
+    padded = jnp.zeros((Hc * cell, Wc * cell), s.dtype).at[:H, :W].set(rank)
+    cells = padded.reshape(Hc, cell, Wc, cell).transpose(0, 2, 1, 3).reshape(
+        Hc * Wc, cell * cell
+    )
+    k = max(1, min(cell * cell, -(-2 * n_take // (Hc * Wc))))
+    topv, topi = jax.lax.top_k(cells, k)  # [ncells, k]
+    cy = (jnp.arange(Hc * Wc) // Wc)[:, None]
+    cx = (jnp.arange(Hc * Wc) % Wc)[:, None]
+    py = cy * cell + topi // cell
+    px = cx * cell + topi % cell
+    # global top-n among per-cell winners
+    flatv = topv.reshape(-1)
+    gv, gi = jax.lax.top_k(flatv, n_take)
+    uv = jnp.stack([px.reshape(-1)[gi], py.reshape(-1)[gi]], axis=-1).astype(jnp.float32)
+    valid = gv > 0.0
+    score = jnp.where(gv > 1000.0, gv - 1000.0, gv)
+    return uv, score, valid
+
+
+def _gather_patches(img: jax.Array, uv: jax.Array) -> jax.Array:
+    """Extract 31x31 patches centered on integer keypoints: [N, 31, 31]."""
+
+    def one(p):
+        y0 = jnp.clip(p[1].astype(jnp.int32) - PATCH_R, 0, img.shape[0] - PATCH)
+        x0 = jnp.clip(p[0].astype(jnp.int32) - PATCH_R, 0, img.shape[1] - PATCH)
+        return jax.lax.dynamic_slice(img, (y0, x0), (PATCH, PATCH))
+
+    return jax.vmap(one)(uv)
+
+
+def compute_orientation(patches: jax.Array) -> jax.Array:
+    """Intensity-centroid angle per patch (reference: IC_Angle)."""
+    m10 = jnp.einsum("nij,ij->n", patches, jnp.asarray(_MOM_X))
+    m01 = jnp.einsum("nij,ij->n", patches, jnp.asarray(_MOM_Y))
+    return jnp.arctan2(m01, m10)
+
+
+def compute_descriptors(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
+    """Rotated binary descriptors from blurred patches: u32[N, 8].
+
+    Rotates the sampling pattern by each keypoint's angle (steered BRIEF, as
+    the reference's computeOrbDescriptor) and compares the 256 point pairs.
+    """
+    N = patches_blur.shape[0]
+    pat = jnp.asarray(_PATTERN)  # [256, 2, 2] (pair, point, xy)
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    # rotate: x' = x c - y s ; y' = x s + y c
+    x = pat[None, ..., 0]  # [1, 256, 2]
+    y = pat[None, ..., 1]
+    xr = jnp.round(x * c[:, None, None] - y * s[:, None, None])
+    yr = jnp.round(x * s[:, None, None] + y * c[:, None, None])
+    xi = jnp.clip(xr + PATCH_R, 0, PATCH - 1).astype(jnp.int32)
+    yi = jnp.clip(yr + PATCH_R, 0, PATCH - 1).astype(jnp.int32)
+    flat_idx = (yi * PATCH + xi).reshape(N, -1)  # [N, 512]
+    flat_patch = patches_blur.reshape(N, -1)
+    samples = jnp.take_along_axis(flat_patch, flat_idx, axis=1).reshape(N, 256, 2)
+    bits = (samples[..., 0] < samples[..., 1]).astype(jnp.uint32)  # [N, 256]
+    weights = jnp.asarray(1 << np.arange(32, dtype=np.uint64), jnp.uint32)
+    return jnp.einsum(
+        "nkb,b->nk", bits.reshape(N, 8, 32), weights, preferred_element_type=jnp.uint32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_features(img: jax.Array, cfg: EngineConfig) -> FrameArrays:
+    """Full frontend: f32[H, W] grayscale in [0, 255] -> FrameArrays.
+
+    Keypoint uv is in level-0 (full-resolution) pixel coordinates; octave is
+    the pyramid level; desc is the packed 256-bit descriptor.
+    """
+    if img.shape != (cfg.height, cfg.width):
+        raise ValueError(
+            f"image shape {img.shape} does not match config "
+            f"({cfg.height}, {cfg.width})"
+        )
+    img = img.astype(jnp.float32)
+    pyr = build_pyramid(img, cfg)
+    counts = features_per_level(cfg)
+    all_uv, all_score, all_valid, all_oct, all_ang, all_desc = [], [], [], [], [], []
+    for l in range(cfg.n_levels):
+        img_l = pyr[l]
+        uv, score, valid = detect_level(
+            img_l, counts[l], float(cfg.ini_th_fast), float(cfg.min_th_fast)
+        )
+        patches = _gather_patches(img_l, uv)
+        angle = compute_orientation(patches)
+        blur_l = gaussian_blur(img_l)
+        patches_b = _gather_patches(blur_l, uv)
+        desc = compute_descriptors(patches_b, angle)
+        scale = jnp.float32(cfg.scale_factor**l)
+        all_uv.append(uv * scale)
+        all_score.append(score)
+        all_valid.append(valid)
+        all_oct.append(jnp.full((uv.shape[0],), l, jnp.int32))
+        all_ang.append(angle)
+        all_desc.append(desc)
+
+    uv = jnp.concatenate(all_uv)
+    score = jnp.concatenate(all_score)
+    valid = jnp.concatenate(all_valid)
+    octv = jnp.concatenate(all_oct)
+    ang = jnp.concatenate(all_ang)
+    desc = jnp.concatenate(all_desc)
+
+    F = cfg.max_features
+    n = uv.shape[0]
+    if n < F:
+        pad = F - n
+        uv = jnp.pad(uv, ((0, pad), (0, 0)))
+        score = jnp.pad(score, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+        octv = jnp.pad(octv, (0, pad))
+        ang = jnp.pad(ang, (0, pad))
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+    elif n > F:
+        # keep strongest
+        _, keep = jax.lax.top_k(jnp.where(valid, score, -1.0), F)
+        uv, score, valid = uv[keep], score[keep], valid[keep]
+        octv, ang, desc = octv[keep], ang[keep], desc[keep]
+
+    return FrameArrays(
+        uv=uv,
+        uv_raw=uv,
+        response=score,
+        octave=octv,
+        angle=ang,
+        desc=desc,
+        valid=valid,
+        u_right=-jnp.ones((F,), jnp.float32),
+        depth=-jnp.ones((F,), jnp.float32),
+    )
