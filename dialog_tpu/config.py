@@ -64,6 +64,9 @@ class EngineConfig:
     max_new_landmarks: int = 4096 # per-keyframe triangulation budget
     max_local_kfs: int = 32       # local-BA camera window capacity
     max_local_obs: int = 16384    # local-BA observation capacity
+    max_local_lms: int = 8192     # local-map landmark candidate capacity
+    max_obs_per_lm: int = 12      # BA observation fan-in per landmark
+    max_fixed_kfs: int = 32       # BA fixed-observer camera capacity
 
     # --- matching thresholds (reference: ORBmatcher.cc TH_LOW/TH_HIGH) ---
     th_low: int = 50

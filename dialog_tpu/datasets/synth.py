@@ -167,8 +167,12 @@ def observe(
     return fr, lm_ids
 
 
-def render_image(scene: SynthScene, frame: int, dot_radius: int = 2) -> np.ndarray:
-    """Rasterize landmarks as bright gaussian-ish dots -> f32[H, W] image."""
+def render_image(scene: SynthScene, frame: int, patch_r: int = 5) -> np.ndarray:
+    """Rasterize landmarks as *distinctive* texture patches -> f32[H, W].
+
+    Each landmark gets a fixed random texture (seeded by its index) so image
+    descriptors can discriminate landmarks — uniform dots would alias.
+    """
     cfg = scene.cfg
     R, t = scene.R[frame], scene.t[frame]
     Xc = scene.xyz @ R.T + t
@@ -176,15 +180,25 @@ def render_image(scene: SynthScene, frame: int, dot_radius: int = 2) -> np.ndarr
     u = cfg.fx * Xc[:, 0] / np.maximum(z, 1e-9) + cfg.cx
     v = cfg.fy * Xc[:, 1] / np.maximum(z, 1e-9) + cfg.cy
     img = np.full((cfg.height, cfg.width), 40.0, np.float32)
-    rng = np.random.default_rng(9)
-    intens = rng.uniform(120, 250, len(z)).astype(np.float32)
-    vis = (z > 0.1) & (u >= 4) & (u < cfg.width - 4) & (v >= 4) & (v < cfg.height - 4)
-    for i in np.nonzero(vis)[0]:
+    p = 2 * patch_r + 1
+    m = patch_r + 1
+    vis = (z > 0.1) & (u >= m) & (u < cfg.width - m) & (v >= m) & (v < cfg.height - m)
+    # farther landmarks drawn first so near ones overwrite (painter's order)
+    order = np.argsort(-z[vis])
+    idxs = np.nonzero(vis)[0][order]
+    for i in idxs:
+        tex_rng = np.random.default_rng(1000 + int(i))
+        tex = tex_rng.uniform(60, 250, (p, p)).astype(np.float32)
         x0, y0 = int(round(u[i])), int(round(v[i]))
-        img[
-            max(y0 - dot_radius, 0) : y0 + dot_radius + 1,
-            max(x0 - dot_radius, 0) : x0 + dot_radius + 1,
-        ] = intens[i]
+        img[y0 - patch_r : y0 + patch_r + 1, x0 - patch_r : x0 + patch_r + 1] = tex
+    # camera PSF: smooth the texture so descriptors are stable to sub-pixel
+    # shifts (raw random texture aliases under resampling)
+    try:
+        import cv2
+
+        img = cv2.GaussianBlur(img, (0, 0), 1.2)
+    except ImportError:
+        pass
     return img
 
 

@@ -163,6 +163,20 @@ def se3_retract(R, t, xi):
     return se3_compose(dR, dt, R, t)
 
 
+def orthogonalize(R):
+    """Project a near-rotation back onto SO(3) (two Newton iterations).
+
+    R <- R (3I - R^T R)/2 converges quadratically for near-orthogonal input.
+    Matmul-only (MXU-friendly) — used at solver entry/exit so that retraction
+    chains cannot drift off the manifold (f32 error otherwise compounds
+    geometrically through the velocity-prediction feedback loop).
+    """
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    for _ in range(2):
+        R = R @ (1.5 * eye - 0.5 * (jnp.swapaxes(R, -1, -2) @ R))
+    return R
+
+
 # ---------------------------------------------------------------------------
 # Sim(3) — (s, R, t)
 # ---------------------------------------------------------------------------

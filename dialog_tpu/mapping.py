@@ -1,0 +1,335 @@
+"""Keyframe insertion and map growth (device-side, mask-based).
+
+Replaces the reference's local-mapping thread (canonical
+``src/LocalMapping.cc`` — SURVEY.md §2.1/§3.3): keyframe processing,
+landmark association, epipolar triangulation of new points, and culling.
+There is no thread and no queue — each step is a pure jitted
+``MapState -> MapState`` function invoked synchronously per keyframe
+(SURVEY.md §7.1 rule 1); pipeline overlap comes from JAX async dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry as geo
+from . import matching
+from .config import EngineConfig
+from .containers import (
+    INVALID_ID,
+    FrameArrays,
+    MapState,
+    recount_lm_obs,
+    update_covis_for_kf,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def insert_keyframe(
+    m: MapState,
+    frame: FrameArrays,
+    R: jax.Array,
+    t: jax.Array,
+    lm_ids: jax.Array,     # i32[F] landmark id per feature (-1 = none)
+    frame_id: jax.Array,
+    timestamp: jax.Array,
+    slot: jax.Array,       # i32 scalar: keyframe slot to write
+    parent: jax.Array,     # i32 scalar: spanning-tree parent (-1 root)
+    cfg: EngineConfig,
+) -> MapState:
+    """Write a frame into keyframe slot and refresh covisibility + obs counts.
+
+    Reference: Tracking::CreateNewKeyFrame + LocalMapping::ProcessNewKeyFrame.
+    """
+    kfs = m.kfs
+    lm_ids = jnp.where(frame.valid, lm_ids, INVALID_ID)
+    kfs = kfs._replace(
+        R=kfs.R.at[slot].set(R),
+        t=kfs.t.at[slot].set(t),
+        uv=kfs.uv.at[slot].set(frame.uv),
+        desc=kfs.desc.at[slot].set(frame.desc),
+        octave=kfs.octave.at[slot].set(frame.octave),
+        angle=kfs.angle.at[slot].set(frame.angle),
+        u_right=kfs.u_right.at[slot].set(frame.u_right),
+        depth=kfs.depth.at[slot].set(frame.depth),
+        feat_valid=kfs.feat_valid.at[slot].set(frame.valid),
+        obs_lm=kfs.obs_lm.at[slot].set(lm_ids),
+        valid=kfs.valid.at[slot].set(True),
+        frame_id=kfs.frame_id.at[slot].set(frame_id),
+        timestamp=kfs.timestamp.at[slot].set(timestamp),
+        parent=kfs.parent.at[slot].set(parent),
+    )
+    m = m._replace(kfs=kfs, num_kfs=jnp.maximum(m.num_kfs, slot + 1))
+    # refresh per-landmark observation counts for this KF's associations
+    L = m.lms.xyz.shape[0]
+    obs = jnp.where(lm_ids >= 0, lm_ids, L)
+    add = jnp.zeros((L + 1,), jnp.int32).at[obs].add(1)[:L]
+    m = m._replace(lms=m.lms._replace(n_obs=m.lms.n_obs + add))
+    return update_covis_for_kf(m, slot)
+
+
+def alloc_landmarks(
+    m: MapState,
+    X: jax.Array,         # f32[N, 3] world points
+    desc: jax.Array,      # u32[N, 8]
+    octave: jax.Array,    # i32[N] octave of the creating observation
+    mask: jax.Array,      # bool[N] which candidates to allocate
+    ref_kf: jax.Array,    # i32 scalar creating keyframe
+    cam_center: jax.Array,  # f32[3] creating camera center (world)
+    cfg: EngineConfig,
+):
+    """Pack masked candidates into free landmark slots (reference:
+    MapPoint ctor + UpdateNormalAndDepth). Returns (m, slot_of i32[N]) where
+    slot_of[i] = L (the drop sentinel) if not allocated."""
+    lms = m.lms
+    L = lms.xyz.shape[0]
+    N = X.shape[0]
+    n_free = jnp.sum(~lms.valid)
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    can = mask & (rank < n_free)
+    free_slots, = jnp.nonzero(~lms.valid, size=N, fill_value=L - 1)
+    slot_of = jnp.where(can, free_slots[jnp.clip(rank, 0, N - 1)], L)
+
+    cam_dist = jnp.linalg.norm(X - cam_center, axis=-1)
+    scale = cfg.scale_factor ** octave.astype(jnp.float32)
+    lev_factor = cfg.scale_factor ** (cfg.n_levels - 1)
+    normal = (X - cam_center) / (cam_dist[..., None] + 1e-12)
+
+    lms = lms._replace(
+        xyz=lms.xyz.at[slot_of].set(X, mode="drop"),
+        desc=lms.desc.at[slot_of].set(desc, mode="drop"),
+        normal=lms.normal.at[slot_of].set(normal, mode="drop"),
+        dmin=lms.dmin.at[slot_of].set(cam_dist * scale / lev_factor, mode="drop"),
+        dmax=lms.dmax.at[slot_of].set(cam_dist * scale, mode="drop"),
+        ref_kf=lms.ref_kf.at[slot_of].set(ref_kf, mode="drop"),
+        first_kf=lms.first_kf.at[slot_of].set(ref_kf, mode="drop"),
+        n_obs=lms.n_obs.at[slot_of].set(0, mode="drop"),
+        n_visible=lms.n_visible.at[slot_of].set(1, mode="drop"),
+        n_found=lms.n_found.at[slot_of].set(1, mode="drop"),
+        valid=lms.valid.at[slot_of].set(True, mode="drop"),
+    )
+    m = m._replace(lms=lms, num_lms=m.num_lms + jnp.sum(can.astype(jnp.int32)))
+    return m, slot_of
+
+
+def _fundamental_from_poses(R1, t1, R2, t2, Kmat):
+    """F mapping image-1 points to epipolar lines in image 2."""
+    R21 = R2 @ R1.T
+    t21 = t2 - R21 @ t1
+    E = geo.hat(t21) @ R21
+    Kinv = jnp.linalg.inv(Kmat)
+    return Kinv.T @ E @ Kinv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def triangulate_between(
+    m: MapState,
+    slot_a: jax.Array,     # new keyframe
+    slot_b: jax.Array,     # neighbor (e.g. reference) keyframe
+    cfg: EngineConfig,
+) -> MapState:
+    """Create new landmarks from unmatched features of two keyframes.
+
+    Reference: LocalMapping::CreateNewMapPoints — epipolar-gated descriptor
+    match (SearchForTriangulation) then linear triangulation with cheirality,
+    reprojection, and parallax checks. All candidates are processed as one
+    masked batch; allocation packs survivors into free landmark slots.
+    """
+    kfs, lms = m.kfs, m.lms
+    F = kfs.uv.shape[1]
+    L = lms.xyz.shape[0]
+    fx, fy, cx, cy = cfg.fx, cfg.fy, cfg.cx, cfg.cy
+    Kmat = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32)
+
+    Ra, ta = kfs.R[slot_a], kfs.t[slot_a]
+    Rb, tb = kfs.R[slot_b], kfs.t[slot_b]
+
+    free_a = kfs.feat_valid[slot_a] & (kfs.obs_lm[slot_a] < 0)
+    free_b = kfs.feat_valid[slot_b] & (kfs.obs_lm[slot_b] < 0)
+
+    # --- epipolar-gated mutual match (a -> b) -------------------------
+    dist = matching.hamming_distance_matrix(kfs.desc[slot_a], kfs.desc[slot_b])
+    Fm = _fundamental_from_poses(Ra, ta, Rb, tb, Kmat)
+    ua = jnp.concatenate([kfs.uv[slot_a], jnp.ones((F, 1))], axis=-1)
+    ub = jnp.concatenate([kfs.uv[slot_b], jnp.ones((F, 1))], axis=-1)
+    lines_b = ua @ Fm.T                                     # [F, 3]
+    d_epi = (ub @ lines_b.T) ** 2 / (
+        lines_b[:, 0] ** 2 + lines_b[:, 1] ** 2 + 1e-12
+    ).T  # [Fb, Fa] -> careful: build [Fa, Fb]
+    d_epi = d_epi.T
+    sigma2_b = cfg.scale_factor ** (2.0 * kfs.octave[slot_b].astype(jnp.float32))
+    epi_ok = d_epi < 3.84 * sigma2_b[None, :]
+    dist = jnp.where(epi_ok, dist, matching.MAX_DIST)
+    mb, _ = matching.match_mutual(dist, free_a, free_b, max_dist=cfg.th_low, ratio=0.9)
+    has = mb >= 0
+    jb = jnp.clip(mb, 0, F - 1)
+
+    # --- triangulate matched pairs ------------------------------------
+    xa = (kfs.uv[slot_a] - jnp.array([cx, cy])) / jnp.array([fx, fy])
+    xb = (kfs.uv[slot_b][jb] - jnp.array([cx, cy])) / jnp.array([fx, fy])
+    X = geo.triangulate_linear(Ra, ta, Rb, tb, xa, xb)      # world points [F, 3]
+
+    za = geo.se3_apply(Ra, ta, X)[:, 2]
+    Xb = geo.se3_apply(Rb, tb, X)
+    zb = Xb[:, 2]
+    uv_ra, _ = geo.project(Ra, ta, X, fx, fy, cx, cy)
+    uv_rb, _ = geo.project(Rb, tb, X, fx, fy, cx, cy)
+    e_a = jnp.sum((uv_ra - kfs.uv[slot_a]) ** 2, -1)
+    e_b = jnp.sum((uv_rb - kfs.uv[slot_b][jb]) ** 2, -1)
+    sigma2_a = cfg.scale_factor ** (2.0 * kfs.octave[slot_a].astype(jnp.float32))
+    # parallax between rays from the two camera centers
+    ca = -Ra.T @ ta
+    cb = -Rb.T @ tb
+    r1 = X - ca
+    r2 = X - cb
+    cosp = jnp.sum(r1 * r2, -1) / (
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1) + 1e-12
+    )
+    good = (
+        has
+        & (za > 1e-3)
+        & (zb > 1e-3)
+        & (e_a < 5.991 * sigma2_a)
+        & (e_b < 5.991 * sigma2_b[jb])
+        & (cosp < 0.99995)
+        & jnp.all(jnp.isfinite(X), -1)
+    )
+
+    # --- allocate into free landmark slots ----------------------------
+    m, slot_of = alloc_landmarks(
+        m, X, kfs.desc[slot_a], kfs.octave[slot_a], good, slot_a,
+        -Ra.T @ ta, cfg,
+    )
+    can_alloc = slot_of < L
+    # register observations in both keyframes; n_obs = 2
+    new_obs_a = jnp.where(can_alloc, slot_of, m.kfs.obs_lm[slot_a])
+    obs_lm = m.kfs.obs_lm.at[slot_a].set(new_obs_a)
+    obs_lm = obs_lm.at[slot_b, jnp.where(can_alloc, jb, F)].set(
+        jnp.where(can_alloc, slot_of, 0), mode="drop"
+    )
+    lms = m.lms
+    lms = lms._replace(n_obs=lms.n_obs.at[slot_of].add(2, mode="drop"))
+    m = m._replace(kfs=m.kfs._replace(obs_lm=obs_lm), lms=lms)
+    return update_covis_for_kf(m, slot_a)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_landmarks_into_kf(
+    m: MapState,
+    src_kf: jax.Array,     # landmarks of this keyframe are projected...
+    dst_kf: jax.Array,     # ...into this keyframe
+    cfg: EngineConfig,
+) -> MapState:
+    """Project src's landmarks into dst; add observations / merge duplicates.
+
+    Reference: LocalMapping::SearchInNeighbors + ORBmatcher::Fuse. A match to
+    a free dst feature adds an observation; a match to a feature already
+    bound to a *different* landmark merges the two (the landmark with fewer
+    observations is replaced everywhere by the one with more).
+    """
+    from . import tracking as _tracking  # local import to avoid a cycle
+
+    kfs, lms = m.kfs, m.lms
+    K, F = kfs.obs_lm.shape
+    L = lms.xyz.shape[0]
+
+    ids = kfs.obs_lm[src_kf]                       # i32[F] landmark per feature
+    has = kfs.feat_valid[src_kf] & (ids >= 0)
+    ids_s = jnp.where(has, ids, L)
+    R_d, t_d = kfs.R[dst_kf], kfs.t[dst_kf]
+    xyz, desc, uv_pred, octv, vis = _tracking._project_landmarks(
+        m, ids_s, R_d, t_d, cfg
+    )
+    from . import matching as _matching
+
+    match_ft, _ = _matching.match_projected(
+        desc, uv_pred, vis, octv,
+        kfs.desc[dst_kf], kfs.uv[dst_kf], kfs.feat_valid[dst_kf],
+        kfs.octave[dst_kf],
+        radius=3.0, scale_factor=cfg.scale_factor,
+        max_dist=cfg.th_low, ratio=1.0,
+    )
+    ok = match_ft >= 0
+    ft = jnp.clip(match_ft, 0, F - 1)
+    cur = kfs.obs_lm[dst_kf][ft]                   # existing binding at dst
+    lm_here = jnp.clip(ids_s, 0, L - 1)
+
+    # case 1: free feature -> new observation
+    free = ok & (cur < 0)
+    obs_lm = kfs.obs_lm.at[dst_kf, jnp.where(free, ft, F)].set(
+        jnp.where(free, lm_here, 0), mode="drop"
+    )
+
+    # case 2: bound to another landmark -> merge (keep the better-observed)
+    dup = ok & (cur >= 0) & (cur != lm_here)
+    cur_c = jnp.clip(cur, 0, L - 1)
+    keep_cur = lms.n_obs[cur_c] >= lms.n_obs[lm_here]
+    winner = jnp.where(keep_cur, cur_c, lm_here)
+    loser = jnp.where(keep_cur, lm_here, cur_c)
+    rep = jnp.arange(L, dtype=jnp.int32).at[jnp.where(dup, loser, L)].set(
+        jnp.where(dup, winner, 0), mode="drop"
+    )
+    # one-step closure (avoid chains pointing at dead slots)
+    rep = rep[rep]
+    all_obs = jnp.where(obs_lm >= 0, rep[jnp.clip(obs_lm, 0, L - 1)], obs_lm)
+    dead = jnp.zeros((L,), bool).at[jnp.where(dup, loser, L)].set(True, mode="drop")
+    lms = lms._replace(valid=lms.valid & ~dead)
+    m = m._replace(kfs=kfs._replace(obs_lm=all_obs), lms=lms)
+    m = recount_lm_obs(m)
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def refresh_landmark_descriptors(m: MapState, slot: jax.Array, cfg: EngineConfig) -> MapState:
+    """Point each landmark's descriptor at its newest keyframe observation.
+
+    Reference: MapPoint::ComputeDistinctiveDescriptors picks the min-median
+    descriptor over all observations; tracking matches current frames against
+    the map, so the newest view is the cheap high-value proxy (one scatter).
+    """
+    L = m.lms.xyz.shape[0]
+    obs = m.kfs.obs_lm[slot]
+    ok = m.kfs.feat_valid[slot] & (obs >= 0)
+    tgt = jnp.where(ok, obs, L)
+    desc = m.lms.desc.at[tgt].set(m.kfs.desc[slot], mode="drop")
+    return m._replace(lms=m.lms._replace(desc=desc))
+
+
+def best_covisible(m: MapState, slot: int, n: int) -> list[int]:
+    """Host-side: top-n covisible keyframe slots of `slot` (weight > 0)."""
+    import numpy as np
+
+    row = np.asarray(m.covis[slot])
+    row = np.where(np.asarray(m.kfs.valid), row, 0)
+    order = np.argsort(-row)
+    return [int(k) for k in order[:n] if row[k] > 0]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cull_landmarks(m: MapState, cur_kf: jax.Array, cfg: EngineConfig) -> MapState:
+    """Remove weak landmarks (reference: LocalMapping::MapPointCulling).
+
+    Culls points whose found/visible ratio is poor or that stayed
+    under-observed several keyframes after creation.
+    """
+    lms = m.lms
+    ratio = lms.n_found.astype(jnp.float32) / jnp.maximum(
+        lms.n_visible.astype(jnp.float32), 1.0
+    )
+    age = cur_kf - lms.first_kf
+    bad = lms.valid & (
+        (ratio < 0.25) | ((age >= 2) & (lms.n_obs <= 2))
+    )
+    # keep points the current KF just created
+    bad = bad & (lms.first_kf != cur_kf)
+    lms = lms._replace(valid=lms.valid & ~bad)
+    # clear dangling observations
+    K, F = m.kfs.obs_lm.shape
+    L = lms.xyz.shape[0]
+    obs = m.kfs.obs_lm
+    obs_bad = (obs >= 0) & bad[jnp.clip(obs, 0, L - 1)]
+    obs = jnp.where(obs_bad, INVALID_ID, obs)
+    return m._replace(kfs=m.kfs._replace(obs_lm=obs), lms=lms)

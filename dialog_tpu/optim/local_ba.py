@@ -1,0 +1,364 @@
+"""Windowed bundle adjustment with blocked Schur complement — the core solver.
+
+Replaces the reference's ``Optimizer::LocalBundleAdjustment`` and the g2o
+block solver underneath it (canonical ``src/Optimizer.cc`` +
+``Thirdparty/g2o`` BlockSolver_6_3 — SURVEY.md §2.1/§2.2). The structure is
+the classic SLAM Schur trick, laid out for the TPU (SURVEY.md §2.3):
+
+* The optimization window is the covisibility neighborhood of a center
+  keyframe; other keyframes observing the window's landmarks contribute
+  residuals with frozen poses (their pose Jacobians are zeroed).
+* Observations are bucketed per landmark into fixed-width lists
+  ``[P, O_max]`` (built with one sort + searchsorted), so every LM iteration
+  is dense batched math: residuals/Jacobians for all observations at once,
+  per-landmark 3x3 ``Hll`` inverses, and the camera-system reduction
+  ``S = Hcc - sum_l Y_l Hll_l^-1 Y_l^T`` as one einsum + scatter-add over
+  landmark observation pairs.
+* The reduced camera system (6C x 6C, C <= ~64) is solved densely — it is
+  tiny. Landmark updates come from back-substitution.
+
+The same kernel generalizes to global BA by sharding the landmark axis
+(``optim/global_ba.py``); `jax.jacfwd` oracles live in the tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import geometry as geo
+from ..config import EngineConfig
+from ..containers import INVALID_ID, MapState
+from .lm import huber_weight
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity BA problem extracted from a MapState."""
+
+    cam_slots: jax.Array   # i32[C]  keyframe slot per camera (K = invalid)
+    cam_opt: jax.Array     # bool[C] optimized (True) vs frozen (False)
+    R: jax.Array           # f32[C, 3, 3]
+    t: jax.Array           # f32[C, 3]
+    lm_ids: jax.Array      # i32[P]  landmark slot per local landmark (L = pad)
+    xyz: jax.Array         # f32[P, 3]
+    obs_cam: jax.Array     # i32[P, O] camera index per observation (C = pad)
+    obs_uv: jax.Array      # f32[P, O, 2]
+    obs_w: jax.Array       # f32[P, O] information (inv sigma2)
+    obs_ok: jax.Array      # bool[P, O]
+    obs_feat: jax.Array    # i32[P, O] feature index (for outlier write-back)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_problem(
+    m: MapState, center_kf: jax.Array, cfg: EngineConfig
+) -> BAProblem:
+    """Gather the covisibility window + fixed observers + their observations."""
+    K, F = m.kfs.obs_lm.shape
+    L = m.lms.xyz.shape[0]
+    W = cfg.max_local_kfs
+    Wf = cfg.max_fixed_kfs
+    C = W + Wf
+    P = cfg.max_local_lms
+    O = cfg.max_obs_per_lm
+
+    # --- window cameras: center + best covisible --------------------------
+    w_row = m.covis[center_kf]
+    w_row = jnp.where(m.kfs.valid, w_row, 0).at[center_kf].set(jnp.int32(2**30))
+    top_w, win_slots = jax.lax.top_k(w_row, W)
+    win_ok = top_w > 0
+
+    # --- landmarks observed by the window --------------------------------
+    win_rows = m.kfs.obs_lm[win_slots]                     # [W, F]
+    row_ok = win_ok[:, None] & m.kfs.feat_valid[win_slots]
+    obs_ids = jnp.where(row_ok & (win_rows >= 0), win_rows, L)
+    mark = jnp.zeros((L + 1,), jnp.int32).at[obs_ids.reshape(-1)].add(1)[:L]
+    lm_sel = (mark > 0) & m.lms.valid
+    lm_ids, = jnp.nonzero(lm_sel, size=P, fill_value=L)
+    lm_ids = lm_ids.astype(jnp.int32)
+    inv = jnp.full((L + 1,), P, jnp.int32).at[lm_ids].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop"
+    )
+
+    # --- fixed cameras: other keyframes observing selected landmarks ------
+    sel_mask_obs = lm_sel[jnp.clip(m.kfs.obs_lm, 0, L - 1)] & (m.kfs.obs_lm >= 0)
+    kf_touches = jnp.sum(
+        (sel_mask_obs & m.kfs.feat_valid).astype(jnp.int32), axis=1
+    )
+    in_window = jnp.zeros((K,), bool).at[jnp.where(win_ok, win_slots, K)].set(
+        True, mode="drop"
+    )
+    fixed_score = jnp.where(m.kfs.valid & ~in_window, kf_touches, 0)
+    top_f, fix_slots = jax.lax.top_k(fixed_score, Wf)
+    fix_ok = top_f > 0
+
+    cam_slots = jnp.concatenate([win_slots, fix_slots]).astype(jnp.int32)
+    cam_valid = jnp.concatenate([win_ok, fix_ok])
+    # gauge: freeze fixed observers + the first two keyframes (scale anchor)
+    cam_opt = jnp.concatenate([win_ok, jnp.zeros((Wf,), bool)])
+    cam_opt = cam_opt & (cam_slots >= 2)
+    cam_slots = jnp.where(cam_valid, cam_slots, K)
+
+    # --- bucket observations per landmark ---------------------------------
+    rows = m.kfs.obs_lm[jnp.clip(cam_slots, 0, K - 1)]     # [C, F]
+    rows_ok = (
+        cam_valid[:, None]
+        & m.kfs.feat_valid[jnp.clip(cam_slots, 0, K - 1)]
+        & (rows >= 0)
+    )
+    li_flat = jnp.where(rows_ok, inv[jnp.clip(rows, 0, L - 1)], P)
+    li_flat = jnp.where(li_flat < P, li_flat, P).reshape(-1)   # [C*F]
+    order = jnp.argsort(li_flat)
+    sorted_li = li_flat[order]
+    first = jnp.searchsorted(sorted_li, sorted_li, side="left")
+    rank = jnp.arange(sorted_li.shape[0]) - first
+    keep = (sorted_li < P) & (rank < O)
+    tgt_l = jnp.where(keep, sorted_li, P)
+    tgt_o = jnp.where(keep, rank, 0)
+
+    cam_of = (order // F).astype(jnp.int32)
+    feat_of = (order % F).astype(jnp.int32)
+    obs_cam = jnp.full((P, O), C, jnp.int32).at[tgt_l, tgt_o].set(
+        cam_of, mode="drop"
+    )
+    obs_feat = jnp.full((P, O), 0, jnp.int32).at[tgt_l, tgt_o].set(
+        feat_of, mode="drop"
+    )
+    obs_ok = jnp.zeros((P, O), bool).at[tgt_l, tgt_o].set(keep, mode="drop")
+
+    uv_all = m.kfs.uv[jnp.clip(cam_slots, 0, K - 1)]       # [C, F, 2]
+    oct_all = m.kfs.octave[jnp.clip(cam_slots, 0, K - 1)]
+    safe_cam = jnp.clip(obs_cam, 0, C - 1)
+    obs_uv = uv_all[safe_cam, obs_feat]                     # [P, O, 2]
+    obs_oct = oct_all[safe_cam, obs_feat]
+    obs_w = cfg.scale_factor ** (-2.0 * obs_oct.astype(jnp.float32))
+    obs_w = jnp.where(obs_ok, obs_w, 0.0)
+
+    return BAProblem(
+        cam_slots=cam_slots,
+        cam_opt=cam_opt,
+        R=m.kfs.R[jnp.clip(cam_slots, 0, K - 1)],
+        t=m.kfs.t[jnp.clip(cam_slots, 0, K - 1)],
+        lm_ids=lm_ids,
+        xyz=m.lms.xyz[jnp.clip(lm_ids, 0, L - 1)],
+        obs_cam=obs_cam,
+        obs_uv=obs_uv,
+        obs_w=obs_w,
+        obs_ok=obs_ok,
+        obs_feat=obs_feat,
+    )
+
+
+def _residuals(prob: BAProblem, R, t, xyz, fx, fy, cx, cy):
+    """All-observation residuals/Jacobians: [P, O, ...]."""
+    C = prob.cam_slots.shape[0]
+    safe_cam = jnp.clip(prob.obs_cam, 0, C - 1)
+    Ro = R[safe_cam]                                  # [P, O, 3, 3]
+    to = t[safe_cam]
+    X = jnp.broadcast_to(xyz[:, None, :], prob.obs_uv.shape[:2] + (3,))
+    uv_hat, z, J_pose, J_point = geo.project_jacobians(
+        Ro, to, X, fx, fy, cx, cy
+    )
+    r = uv_hat - prob.obs_uv
+    ok = prob.obs_ok & (z > 1e-3)
+    return r, J_pose, J_point, ok
+
+
+def _robust_weights(r, w_info, ok, delta2):
+    chi2 = jnp.sum(r * r, -1) * w_info
+    w_rob = huber_weight(chi2, delta2)
+    w = jnp.where(ok, w_info * w_rob, 0.0)
+    cost = jnp.sum(
+        jnp.where(
+            ok,
+            jnp.where(
+                chi2 <= delta2,
+                chi2,
+                2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2,
+            ),
+            0.0,
+        )
+    )
+    return w, cost, chi2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iters"))
+def solve_ba(
+    prob: BAProblem,
+    cfg: EngineConfig,
+    iters: int = 10,
+    chi2_th: float = 5.991,
+    lam0: float = 1e-4,
+):
+    """Damped Schur-complement LM over the extracted problem.
+
+    Returns (R [C,3,3], t [C,3], xyz [P,3], final robust cost).
+    """
+    fx, fy, cx, cy = cfg.fx, cfg.fy, cfg.cx, cfg.cy
+    C = prob.cam_slots.shape[0]
+    P = prob.lm_ids.shape[0]
+    delta2 = chi2_th
+
+    cam_opt6 = jnp.repeat(prob.cam_opt, 6)          # [6C]
+
+    def cost_of(R, t, xyz):
+        r, _, _, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy)
+        _, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
+        return cost
+
+    def step(R, t, xyz, lam):
+        r, J_c, J_l, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy)
+        w, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
+        # freeze non-optimized cameras by zeroing their pose Jacobians
+        J_c = jnp.where(prob.cam_opt[jnp.clip(prob.obs_cam, 0, C - 1)][..., None, None], J_c, 0.0)
+
+        # landmark blocks
+        Hll = jnp.einsum("poki,po,pokj->pij", J_l, w, J_l)       # [P,3,3]
+        g_l = jnp.einsum("poki,po,pok->pi", J_l, w, r)           # [P,3]
+        dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
+        Hll_d = Hll + (lam * jnp.maximum(dll, 1e-9) + 1e-9)[..., None] * jnp.eye(
+            3, dtype=Hll.dtype
+        )
+        Hll_inv = jnp.linalg.inv(Hll_d)
+
+        # camera diagonal + rhs, scatter over observations
+        Hcc_blk = jnp.einsum("poki,po,pokj->poij", J_c, w, J_c)  # [P,O,6,6]
+        g_c_blk = jnp.einsum("poki,po,pok->poi", J_c, w, r)      # [P,O,6]
+        cam_idx = jnp.where(ok, prob.obs_cam, C).reshape(-1)
+        Hcc = (
+            jnp.zeros((C + 1, 6, 6))
+            .at[cam_idx]
+            .add(Hcc_blk.reshape(-1, 6, 6))[:C]
+        )
+        g_c = jnp.zeros((C + 1, 6)).at[cam_idx].add(g_c_blk.reshape(-1, 6))[:C]
+
+        # cross blocks Y = J_c^T w J_l  [P, O, 6, 3]
+        Y = jnp.einsum("poki,po,pokj->poij", J_c, w, J_l)
+        YHinv = jnp.einsum("poij,pjk->poik", Y, Hll_inv)         # [P,O,6,3]
+
+        # Schur: S = Hcc - sum_l sum_{o1,o2} YHinv_{o1} Y_{o2}^T.
+        # Loop over o1 (small static O) so the pair tensor stays [P, O, 6, 6]
+        # instead of [P, O, O, 6, 6] — the latter is hundreds of MB at
+        # global-BA scale.
+        O = prob.obs_cam.shape[1]
+        cam_c = jnp.clip(prob.obs_cam, 0, C)
+        S_acc = jnp.zeros(((C + 1) * (C + 1), 6, 6))
+        for o1 in range(O):
+            blk = jnp.einsum("pik,pqjk->pqij", YHinv[:, o1], Y)  # [P,O,6,6]
+            pair_ok = ok[:, o1 : o1 + 1] & ok                    # [P,O]
+            pair_idx = jnp.where(
+                pair_ok,
+                cam_c[:, o1 : o1 + 1] * (C + 1) + cam_c,
+                (C + 1) * (C + 1) - 1,
+            )
+            S_acc = S_acc.at[pair_idx.reshape(-1)].add(blk.reshape(-1, 6, 6))
+        S_red = S_acc.reshape(C + 1, C + 1, 6, 6)[:C, :C]
+        # rhs reduction: g~_c = g_c - sum_o YHinv_o g_l
+        gt_blk = jnp.einsum("poij,pj->poi", YHinv, g_l)          # [P,O,6]
+        g_red = (
+            jnp.zeros((C + 1, 6)).at[cam_idx].add(gt_blk.reshape(-1, 6))[:C]
+        )
+
+        # assemble dense reduced system [6C, 6C]
+        dcc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)              # [C, 6]
+        Hcc_d = Hcc + (lam * jnp.maximum(dcc, 1e-9) + 1e-9)[..., None] * jnp.eye(
+            6, dtype=Hcc.dtype
+        )
+        S = (
+            jnp.zeros((C, 6, C, 6))
+            .at[jnp.arange(C), :, jnp.arange(C), :]
+            .set(Hcc_d)
+        )
+        S = S - jnp.transpose(S_red, (0, 2, 1, 3))
+        S = S.reshape(6 * C, 6 * C)
+        rhs = -(g_c - g_red).reshape(-1)
+
+        # freeze: identity rows/cols for non-optimized cams
+        S = jnp.where(cam_opt6[:, None] & cam_opt6[None, :], S, 0.0)
+        S = S + jnp.diag(jnp.where(cam_opt6, 0.0, 1.0))
+        rhs = jnp.where(cam_opt6, rhs, 0.0)
+
+        dc = jnp.linalg.solve(S, rhs).reshape(C, 6)
+
+        # back-substitute landmarks: dl = Hll^-1 (-g_l - sum_o Y_o^T dc_{c_o})
+        dc_per_obs = jnp.where(
+            ok[..., None], dc[jnp.clip(prob.obs_cam, 0, C - 1)], 0.0
+        )                                                        # [P,O,6]
+        cross = jnp.einsum("poij,poi->pj", Y, dc_per_obs)        # [P,3]
+        dl = jnp.einsum("pij,pj->pi", Hll_inv, -g_l - cross)
+
+        # apply
+        R_new, t_new = geo.se3_retract(R, t, dc)
+        xyz_new = xyz + dl
+        return R_new, t_new, xyz_new, cost
+
+    def body(_, carry):
+        R, t, xyz, lam, cost = carry
+        R_new, t_new, xyz_new, _ = step(R, t, xyz, lam)
+        new_cost = cost_of(R_new, t_new, xyz_new)
+        accept = new_cost < cost
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        xyz = jnp.where(accept, xyz_new, xyz)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return R, t, xyz, lam, cost
+
+    R_in = geo.orthogonalize(prob.R)
+    cost0 = cost_of(R_in, prob.t, prob.xyz)
+    R, t, xyz, _, cost = jax.lax.fori_loop(
+        0, iters, body, (R_in, prob.t, prob.xyz, jnp.float32(lam0), cost0)
+    )
+    return geo.orthogonalize(R), t, xyz, cost
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def write_back(
+    m: MapState,
+    prob: BAProblem,
+    R: jax.Array,
+    t: jax.Array,
+    xyz: jax.Array,
+    cfg: EngineConfig,
+    chi2_th: float = 5.991,
+) -> MapState:
+    """Write optimized poses/points into the map and strip outlier obs.
+
+    Reference: the post-BA outlier erase under the map mutex.
+    """
+    K = m.kfs.valid.shape[0]
+    L = m.lms.xyz.shape[0]
+    C = prob.cam_slots.shape[0]
+    # poses (optimized cameras only)
+    tgt = jnp.where(prob.cam_opt, prob.cam_slots, K)
+    kfs = m.kfs._replace(
+        R=m.kfs.R.at[tgt].set(R, mode="drop"),
+        t=m.kfs.t.at[tgt].set(t, mode="drop"),
+    )
+    # landmarks
+    lm_tgt = jnp.where(prob.lm_ids < L, prob.lm_ids, L)
+    lms = m.lms._replace(xyz=m.lms.xyz.at[lm_tgt].set(xyz, mode="drop"))
+
+    # outlier observations at the optimized state
+    r, _, _, ok = _residuals(
+        prob, R, t, xyz, cfg.fx, cfg.fy, cfg.cx, cfg.cy
+    )
+    chi2 = jnp.sum(r * r, -1) * prob.obs_w
+    bad = ok & (chi2 > chi2_th)
+    cam_slot_of_obs = prob.cam_slots[jnp.clip(prob.obs_cam, 0, C - 1)]
+    k_idx = jnp.where(bad, cam_slot_of_obs, K).reshape(-1)
+    f_idx = prob.obs_feat.reshape(-1)
+    obs_lm = kfs.obs_lm.at[k_idx, f_idx].set(INVALID_ID, mode="drop")
+    kfs = kfs._replace(obs_lm=obs_lm)
+    return m._replace(kfs=kfs, lms=lms)
+
+
+def local_bundle_adjustment(
+    m: MapState, center_kf, cfg: EngineConfig, iters: int = 10
+) -> MapState:
+    """Full local BA pass: extract window -> solve -> write back."""
+    prob = build_problem(m, jnp.int32(center_kf), cfg)
+    R, t, xyz, _ = solve_ba(prob, cfg, iters=iters, chi2_th=cfg.chi2_mono)
+    return write_back(m, prob, R, t, xyz, cfg, chi2_th=cfg.chi2_mono)

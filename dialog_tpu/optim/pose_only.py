@@ -79,8 +79,11 @@ def pose_optimization(
         chi2 = jnp.sum((uv_hat - uv) ** 2, -1) * inv_sigma2
         return valid & (z > 1e-3) & (chi2 <= chi2_th)
 
+    R0 = geo.orthogonalize(R0)
+
     def one_round(carry, _):
         R, t, inlier = carry
+        R = geo.orthogonalize(R)
 
         def cas(x):
             Rx, tx = x

@@ -1,0 +1,425 @@
+"""Engine facade: the public entry point of the SLAM system.
+
+Replaces the reference's System + the threads it spawns (canonical
+``src/System.cc`` + ``src/Tracking.cc`` state machine — SURVEY.md §2.1,
+§3.2). One process, zero threads, zero locks (SURVEY.md §7.1 rule 1): the
+host runs a thin scalar state machine (NOT_INITIALIZED / OK / LOST) and
+dispatches jitted device steps; the map lives in HBM as a ``MapState``
+pytree. Only scalar decisions (init succeeded? lost? need keyframe?) sync
+to the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry as geo
+from . import mapping
+from . import matching
+from . import tracking
+from .config import EngineConfig, Sensor
+from .containers import (
+    INVALID_ID,
+    FrameArrays,
+    MapState,
+    empty_map,
+    save_map,
+)
+from .frontend import extract_features
+from .init2view import initialize_two_view
+from .optim import pose_optimization
+
+NOT_INITIALIZED = "NOT_INITIALIZED"
+OK = "OK"
+LOST = "LOST"
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    """Per-frame output (reference: the per-frame Tcw + logging state).
+
+    ``R_rel/t_rel`` store the pose relative to keyframe ``ref_kf``
+    (T_cr = T_cw o T_rw^-1); trajectory export composes them with the
+    *current* keyframe poses so later BA / loop corrections propagate to
+    every frame (reference: System::SaveTrajectoryTUM's mlRelativeFramePoses).
+    """
+
+    frame_id: int
+    timestamp: float
+    R: np.ndarray
+    t: np.ndarray
+    state: str
+    n_tracked: int
+    ref_kf: int = -1
+    R_rel: np.ndarray | None = None
+    t_rel: np.ndarray | None = None
+
+
+class Engine:
+    """TPU-native SLAM engine (reference: ORB_SLAM2::System).
+
+    Usage::
+
+        eng = Engine(config)
+        for img, ts in frames:
+            rec = eng.track_image(img, ts)   # or track_features(...)
+        eng.save_trajectory_tum(path)
+    """
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.m: MapState = empty_map(cfg)
+        self.state = NOT_INITIALIZED
+        self.frame_id = 0
+        self.kf_count = 0
+        self.ref_kf = 0
+        self.last_kf_frame_id = -(10**9)
+        self.last_kf_tracked = 0
+        # init bookkeeping
+        self._init_frame: Optional[FrameArrays] = None
+        self._init_ts = 0.0
+        self._init_fid = 0
+        # last-frame tracking state
+        self._last_frame: Optional[FrameArrays] = None
+        self._last_lm_ids = None
+        self._last_R = np.eye(3, dtype=np.float32)
+        self._last_t = np.zeros(3, dtype=np.float32)
+        self._vel: Optional[tuple[np.ndarray, np.ndarray]] = None
+        self.trajectory: list[FrameRecord] = []
+        self._key = jax.random.PRNGKey(cfg.n_features)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def track_image(self, img, timestamp: float) -> FrameRecord:
+        """Monocular image entry (reference: System::TrackMonocular)."""
+        frame = extract_features(jnp.asarray(img), self.cfg)
+        frame = self._undistort(frame)
+        return self.track_features(frame, timestamp)
+
+    def track_features(self, frame: FrameArrays, timestamp: float) -> FrameRecord:
+        """Track a pre-extracted feature frame (also the synthetic-data entry)."""
+        if self.state == NOT_INITIALIZED:
+            rec = self._initialize(frame, timestamp)
+        else:
+            rec = self._track(frame, timestamp)
+        self.trajectory.append(rec)
+        self.frame_id += 1
+        return rec
+
+    def final_poses(self) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Per-frame world->camera poses composed against the *current* map.
+
+        Frames tied to a keyframe get T_cw = T_cr o T_rw(now), so keyframe
+        corrections from BA (and later loop closure) propagate to the whole
+        trajectory (reference: SaveTrajectoryTUM pose-chain recomputation).
+        """
+        kf_R = np.asarray(self.m.kfs.R)
+        kf_t = np.asarray(self.m.kfs.t)
+        out = []
+        for r in self.trajectory:
+            if r.ref_kf >= 0 and r.R_rel is not None:
+                Rr, tr = kf_R[r.ref_kf], kf_t[r.ref_kf]
+                R = r.R_rel @ Rr
+                t = r.R_rel @ tr + r.t_rel
+            else:
+                R, t = r.R, r.t
+            out.append((R, t))
+        return out
+
+    def save_trajectory_tum(self, path: str) -> None:
+        from .eval.trajectory import save_tum
+
+        poses = self.final_poses()
+        save_tum(
+            path,
+            [r.timestamp for r in self.trajectory],
+            [p[0] for p in poses],
+            [p[1] for p in poses],
+        )
+
+    def save_trajectory_kitti(self, path: str) -> None:
+        from .eval.trajectory import save_kitti
+
+        poses = self.final_poses()
+        save_kitti(path, [p[0] for p in poses], [p[1] for p in poses])
+
+    def save_checkpoint(self, path: str) -> None:
+        save_map(self.m, path)
+
+    @property
+    def positions(self) -> np.ndarray:
+        """Camera centers [N, 3] (world frame), BA-corrected, for evaluation."""
+        out = [-R.T @ t for R, t in self.final_poses()]
+        return np.stack(out) if out else np.zeros((0, 3))
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _undistort(self, frame: FrameArrays) -> FrameArrays:
+        c = self.cfg
+        if c.k1 == 0.0 and c.k2 == 0.0 and c.p1 == 0.0 and c.p2 == 0.0:
+            return frame
+        uv = geo.undistort_points(
+            frame.uv_raw, c.fx, c.fy, c.cx, c.cy, c.k1, c.k2, c.p1, c.p2, c.k3
+        )
+        return frame._replace(uv=uv)
+
+    def _record(self, ts, R, t, n_tracked=0, ref_kf=-1) -> FrameRecord:
+        R = np.asarray(R)
+        t = np.asarray(t)
+        R_rel = t_rel = None
+        if ref_kf >= 0:
+            Rr = np.asarray(self.m.kfs.R[ref_kf])
+            tr = np.asarray(self.m.kfs.t[ref_kf])
+            R_rel = R @ Rr.T
+            t_rel = t - R_rel @ tr
+        return FrameRecord(
+            frame_id=self.frame_id,
+            timestamp=ts,
+            R=R,
+            t=t,
+            state=self.state,
+            n_tracked=int(n_tracked),
+            ref_kf=int(ref_kf),
+            R_rel=R_rel,
+            t_rel=t_rel,
+        )
+
+    # --- monocular initialization (reference: MonocularInitialization) ---
+
+    def _initialize(self, frame: FrameArrays, ts: float) -> FrameRecord:
+        cfg = self.cfg
+        n_valid = int(jnp.sum(frame.valid))
+        if self._init_frame is None or n_valid < 100:
+            self._set_init_frame(frame, ts, n_valid)
+            return self._record(ts, np.eye(3), np.zeros(3))
+
+        mb, _ = matching.match_window(
+            self._init_frame.desc, self._init_frame.uv, self._init_frame.valid,
+            frame.desc, frame.uv, frame.valid,
+            radius=100.0, max_dist=cfg.th_low, ratio=cfg.nn_ratio_init,
+            angle_a=self._init_frame.angle, angle_b=frame.angle,
+        )
+        ok = mb >= 0
+        if int(jnp.sum(ok)) < 100:
+            self._set_init_frame(frame, ts, n_valid)
+            return self._record(ts, np.eye(3), np.zeros(3))
+
+        jb = jnp.clip(mb, 0, frame.uv.shape[0] - 1)
+        uv2 = frame.uv[jb]
+        self._key, sub = jax.random.split(self._key)
+        res = initialize_two_view(
+            self._init_frame.uv, uv2, ok,
+            cfg.fx, cfg.fy, cfg.cx, cfg.cy, sub, iters=cfg.init_ransac_iters,
+        )
+        if not bool(res.success):
+            # keep the init frame for a few attempts, then re-seed
+            if self.frame_id - self._init_fid > 20:
+                self._set_init_frame(frame, ts, n_valid)
+            return self._record(ts, np.eye(3), np.zeros(3))
+
+        # --- create the initial map (CreateInitialMapMonocular) ----------
+        good = np.asarray(res.good)
+        z = np.asarray(res.points)[:, 2]
+        med = float(np.median(z[good])) if good.any() else 1.0
+        med = max(med, 1e-6)
+        X = res.points / med                      # scale-normalized, cam0 frame
+        R1 = res.R
+        t1 = res.t / med
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        zero3 = jnp.zeros(3, dtype=jnp.float32)
+
+        m, slot_of = mapping.alloc_landmarks(
+            self.m, X, self._init_frame.desc, self._init_frame.octave,
+            res.good, jnp.int32(0), zero3, cfg,
+        )
+        L = cfg.max_landmarks
+        lm0 = jnp.where(res.good & (slot_of < L), slot_of, INVALID_ID).astype(jnp.int32)
+        F = frame.uv.shape[0]
+        lm1 = jnp.full((F,), INVALID_ID, jnp.int32)
+        lm1 = lm1.at[jnp.where(lm0 >= 0, jb, F)].set(
+            jnp.where(lm0 >= 0, lm0, INVALID_ID), mode="drop"
+        )
+        m = mapping.insert_keyframe(
+            m, self._init_frame, eye3, zero3, lm0,
+            jnp.int32(self._init_fid), jnp.float32(self._init_ts),
+            jnp.int32(0), jnp.int32(-1), cfg,
+        )
+        m = mapping.insert_keyframe(
+            m, frame, R1, t1, lm1,
+            jnp.int32(self.frame_id), jnp.float32(ts),
+            jnp.int32(1), jnp.int32(0), cfg,
+        )
+        self.m = m
+        self.kf_count = 2
+        self.ref_kf = 1
+        self.last_kf_frame_id = self.frame_id
+        self.state = OK
+        self._last_frame = frame
+        self._last_lm_ids = lm1
+        self._last_R = np.asarray(R1)
+        self._last_t = np.asarray(t1)
+        self._vel = None
+        n_pts = int(jnp.sum(lm1 >= 0))
+        self.last_kf_tracked = n_pts
+        return self._record(ts, self._last_R, self._last_t, n_pts, ref_kf=1)
+
+    def _set_init_frame(self, frame, ts, n_valid):
+        self._init_frame = frame if n_valid >= 100 else None
+        self._init_ts = ts
+        self._init_fid = self.frame_id
+
+    # --- per-frame tracking (reference: Track() with state OK) -----------
+
+    def _track(self, frame: FrameArrays, ts: float) -> FrameRecord:
+        cfg = self.cfg
+        # constant-velocity prediction
+        if self._vel is not None:
+            Rv, tv = self._vel
+            R_pred = Rv @ self._last_R
+            t_pred = Rv @ self._last_t + tv
+        else:
+            R_pred, t_pred = self._last_R, self._last_t
+        R_pred = jnp.asarray(R_pred)
+        t_pred = jnp.asarray(t_pred)
+
+        lm_ids, n = tracking.track_motion_model(
+            self.m, self._last_lm_ids, frame, R_pred, t_pred, cfg,
+            radius=cfg.motion_search_radius,
+        )
+        if int(n) < 20:
+            # wider search, then reference-KF fallback
+            lm_ids, n = tracking.track_motion_model(
+                self.m, self._last_lm_ids, frame, R_pred, t_pred, cfg,
+                radius=2.0 * cfg.motion_search_radius,
+            )
+            if int(n) < 20:
+                lm_ids, n = tracking.match_reference_kf(
+                    self.m, jnp.int32(self.ref_kf), frame, cfg
+                )
+                R_pred, t_pred = jnp.asarray(self._last_R), jnp.asarray(self._last_t)
+        if int(n) < cfg.min_inliers_track:
+            return self._handle_lost(frame, ts)
+
+        X, uv, inv_s2, valid = tracking.gather_track_problem(self.m, frame, lm_ids, cfg)
+        res = pose_optimization(
+            R_pred, t_pred, X, uv, inv_s2, valid,
+            cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+            chi2_th=cfg.chi2_mono,
+            rounds=cfg.pose_opt_rounds, iters=cfg.pose_opt_iters,
+        )
+        if int(res.n_inliers) < cfg.min_inliers_track:
+            return self._handle_lost(frame, ts)
+        lm_ids = jnp.where(res.inlier, lm_ids, INVALID_ID)
+
+        # --- local map tracking -------------------------------------
+        local_ids = tracking.local_landmark_ids(self.m, jnp.int32(self.ref_kf), cfg)
+        lm_ids, n2 = tracking.track_local_map_match(
+            self.m, local_ids, frame, lm_ids, res.R, res.t, cfg
+        )
+        X, uv, inv_s2, valid = tracking.gather_track_problem(self.m, frame, lm_ids, cfg)
+        res = pose_optimization(
+            res.R, res.t, X, uv, inv_s2, valid,
+            cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+            chi2_th=cfg.chi2_mono,
+            rounds=2, iters=cfg.pose_opt_iters,
+        )
+        n_tracked = int(res.n_inliers)
+        if n_tracked < cfg.min_inliers_local:
+            return self._handle_lost(frame, ts)
+        lm_ids, _ = tracking.filter_outlier_assoc(
+            res.R, res.t, self.m, frame, lm_ids, cfg, chi2_th=cfg.chi2_mono
+        )
+
+        R_cur = np.asarray(res.R)
+        t_cur = np.asarray(res.t)
+        # velocity: T_cur o T_last^-1
+        self._vel = (
+            R_cur @ self._last_R.T,
+            t_cur - (R_cur @ self._last_R.T) @ self._last_t,
+        )
+        self._last_R, self._last_t = R_cur, t_cur
+        self._last_frame = frame
+        self._last_lm_ids = lm_ids
+        self.state = OK
+
+        if self._need_keyframe(n_tracked):
+            self._create_keyframe(frame, ts, res.R, res.t, lm_ids, n_tracked)
+            # the frame's pose may have been BA-refined inside keyframe creation
+            R_cur, t_cur = self._last_R, self._last_t
+        return self._record(ts, R_cur, t_cur, n_tracked, ref_kf=self.ref_kf)
+
+    def _handle_lost(self, frame: FrameArrays, ts: float) -> FrameRecord:
+        """v0 loss handling: keep last pose, try reference-KF match next frame
+        (BoW relocalization lands with the vocabulary module)."""
+        self.state = LOST
+        self._last_frame = frame
+        self._vel = None
+        ref = self.ref_kf if self.kf_count > 0 else -1
+        return self._record(ts, self._last_R, self._last_t, 0, ref_kf=ref)
+
+    # --- keyframe policy (reference: NeedNewKeyFrame) --------------------
+
+    def _need_keyframe(self, n_tracked: int) -> bool:
+        if self.kf_count >= self.cfg.max_keyframes:
+            return False
+        since = self.frame_id - self.last_kf_frame_id
+        if since < 1:
+            return False
+        weak = n_tracked < self.cfg.kf_tracked_ratio * max(self.last_kf_tracked, 1)
+        stale = since >= self.cfg.max_frames_between_kf
+        return (weak and n_tracked > 15) or stale
+
+    def _create_keyframe(self, frame, ts, R, t, lm_ids, n_tracked):
+        cfg = self.cfg
+        slot = self.kf_count
+        self.m = mapping.insert_keyframe(
+            self.m, frame, R, t, lm_ids,
+            jnp.int32(self.frame_id), jnp.float32(ts),
+            jnp.int32(slot), jnp.int32(self.ref_kf), cfg,
+        )
+        # triangulate against several covisible neighbors (reference: 10|20)
+        neighbors = mapping.best_covisible(self.m, slot, 4)
+        if self.ref_kf not in neighbors:
+            neighbors = [self.ref_kf] + neighbors[:3]
+        for nb in neighbors:
+            if nb != slot:
+                self.m = mapping.triangulate_between(
+                    self.m, jnp.int32(slot), jnp.int32(nb), cfg
+                )
+        # fuse duplicates with the neighbors, both directions
+        for nb in neighbors:
+            if nb != slot:
+                self.m = mapping.fuse_landmarks_into_kf(
+                    self.m, jnp.int32(slot), jnp.int32(nb), cfg
+                )
+                self.m = mapping.fuse_landmarks_into_kf(
+                    self.m, jnp.int32(nb), jnp.int32(slot), cfg
+                )
+        self.m = mapping.update_covis_for_kf(self.m, jnp.int32(slot))
+        self.m = mapping.refresh_landmark_descriptors(self.m, jnp.int32(slot), cfg)
+        self.m = mapping.cull_landmarks(self.m, jnp.int32(slot), cfg)
+        if slot >= 2:
+            from .optim.local_ba import local_bundle_adjustment
+
+            self.m = local_bundle_adjustment(
+                self.m, slot, cfg, iters=cfg.local_ba_iters
+            )
+            # continue tracking from the BA-refined keyframe pose
+            self._last_R = np.asarray(self.m.kfs.R[slot])
+            self._last_t = np.asarray(self.m.kfs.t[slot])
+            self._vel = None
+        # refresh this frame's associations with the new landmarks
+        self._last_lm_ids = self.m.kfs.obs_lm[slot]
+        self.ref_kf = slot
+        self.kf_count += 1
+        self.last_kf_frame_id = self.frame_id
+        self.last_kf_tracked = n_tracked

@@ -1,0 +1,223 @@
+"""Per-frame tracking: device-side steps of the Track() state machine.
+
+Replaces the reference's tracking thread logic (canonical
+``src/Tracking.cc`` — SURVEY.md §2.1/§3.2). The host keeps only the scalar
+state machine (``system.Engine``); each arrow of the reference's Track()
+flow is one jitted device function here (SURVEY.md §7.1 rule 7):
+
+* ``track_motion_model``   — TrackWithMotionModel's projection search
+* ``match_reference_kf``   — TrackReferenceKeyFrame's descriptor match
+* ``local_landmark_ids``   — UpdateLocalMap's covisible point set
+* ``track_local_map_match``— SearchLocalPoints projection match + merge
+
+Pose optimization itself lives in ``optim.pose_only``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry as geo
+from . import matching
+from .config import EngineConfig
+from .containers import FrameArrays, MapState, INVALID_ID
+
+
+def predict_scale(dist: jax.Array, dmax: jax.Array, cfg: EngineConfig) -> jax.Array:
+    """Predicted detection octave from camera distance (MapPoint::PredictScale)."""
+    ratio = jnp.maximum(dmax / jnp.maximum(dist, 1e-6), 1e-6)
+    # small epsilon so ratio == 1.0 maps to level 0 despite float noise
+    lvl = jnp.ceil(jnp.log(ratio) / jnp.log(cfg.scale_factor) - 1e-4)
+    return jnp.clip(lvl, 0, cfg.n_levels - 1).astype(jnp.int32)
+
+
+def _project_landmarks(m: MapState, ids: jax.Array, R, t, cfg: EngineConfig):
+    """Gather landmark data for ids (L = invalid sentinel) and project.
+
+    Returns (xyz, desc, uv, octave, vis) all sized like ids.
+    """
+    L = m.lms.xyz.shape[0]
+    safe = jnp.clip(ids, 0, L - 1)
+    ok = (ids >= 0) & (ids < L) & m.lms.valid[safe]
+    xyz = m.lms.xyz[safe]
+    desc = m.lms.desc[safe]
+    dmax = m.lms.dmax[safe]
+    uv, z = geo.project(R, t, xyz, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+    inb = (
+        (uv[:, 0] >= 0)
+        & (uv[:, 0] < cfg.width)
+        & (uv[:, 1] >= 0)
+        & (uv[:, 1] < cfg.height)
+    )
+    cam_center = -R.T @ t
+    dist = jnp.linalg.norm(xyz - cam_center, axis=-1)
+    octv = predict_scale(dist, dmax, cfg)
+    vis = ok & (z > 1e-3) & inb
+    return xyz, desc, uv, octv, vis
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "radius"))
+def track_motion_model(
+    m: MapState,
+    last_lm_ids: jax.Array,   # i32[F] landmark of each last-frame feature
+    frame: FrameArrays,
+    R_pred: jax.Array,
+    t_pred: jax.Array,
+    cfg: EngineConfig,
+    radius: float = 15.0,
+):
+    """Project last frame's landmarks into the predicted pose and match.
+
+    Returns (lm_of_feat i32[F] (-1 = none), n_matches i32).
+    """
+    F = frame.uv.shape[0]
+    L = m.lms.xyz.shape[0]
+    ids = jnp.where(last_lm_ids >= 0, last_lm_ids, L)
+    _, desc, uv_pred, octv, vis = _project_landmarks(m, ids, R_pred, t_pred, cfg)
+    match_ft, _ = matching.match_projected(
+        desc, uv_pred, vis, octv,
+        frame.desc, frame.uv, frame.valid, frame.octave,
+        radius=radius, scale_factor=cfg.scale_factor,
+        max_dist=cfg.th_high, ratio=0.9,
+    )
+    # invert: per-feature landmark
+    lm_of_feat = jnp.full((F,), INVALID_ID, jnp.int32)
+    src = jnp.where(match_ft >= 0, ids, L)
+    lm_of_feat = lm_of_feat.at[jnp.where(match_ft >= 0, match_ft, F)].set(
+        src.astype(jnp.int32), mode="drop"
+    )
+    lm_of_feat = jnp.where(lm_of_feat >= L, INVALID_ID, lm_of_feat)
+    return lm_of_feat, jnp.sum((lm_of_feat >= 0).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def match_reference_kf(
+    m: MapState,
+    ref_kf: jax.Array,
+    frame: FrameArrays,
+    cfg: EngineConfig,
+):
+    """Descriptor-only match against a keyframe's landmarks (reference:
+    TrackReferenceKeyFrame via SearchByBoW; BoW bucketing is unnecessary at
+    TPU matrix sizes). Returns (lm_of_feat i32[F], n_matches)."""
+    F = frame.uv.shape[0]
+    L = m.lms.xyz.shape[0]
+    kf_desc = m.kfs.desc[ref_kf]
+    kf_obs = m.kfs.obs_lm[ref_kf]
+    kf_ok = (
+        m.kfs.feat_valid[ref_kf]
+        & (kf_obs >= 0)
+        & m.lms.valid[jnp.clip(kf_obs, 0, L - 1)]
+    )
+    dist = matching.hamming_distance_matrix(kf_desc, frame.desc)
+    match_ft, _ = matching.match_mutual(
+        dist, kf_ok, frame.valid, max_dist=cfg.th_low, ratio=0.75
+    )
+    ok = match_ft >= 0
+    ok = matching.rotation_consistency_mask(
+        m.kfs.angle[ref_kf], frame.angle, match_ft, ok
+    )
+    lm_of_feat = jnp.full((F,), INVALID_ID, jnp.int32)
+    lm_of_feat = lm_of_feat.at[jnp.where(ok, match_ft, F)].set(
+        jnp.where(ok, kf_obs, L).astype(jnp.int32), mode="drop"
+    )
+    lm_of_feat = jnp.where(lm_of_feat >= L, INVALID_ID, lm_of_feat)
+    return lm_of_feat, jnp.sum((lm_of_feat >= 0).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def local_landmark_ids(m: MapState, ref_kf: jax.Array, cfg: EngineConfig):
+    """Landmarks seen by the reference KF's covisibility neighborhood.
+
+    Reference: Tracking::UpdateLocalMap (K1 covisible keyframes' points).
+    Returns i32[max_local_lms] compacted ids (L = fill sentinel).
+    """
+    K, F = m.kfs.obs_lm.shape
+    L = m.lms.xyz.shape[0]
+    neigh = (m.covis[ref_kf] > 0) & m.kfs.valid
+    neigh = neigh.at[ref_kf].set(True)
+    obs = m.kfs.obs_lm
+    sel = neigh[:, None] & m.kfs.feat_valid & (obs >= 0)
+    flat = jnp.where(sel, obs, L).reshape(-1)
+    mark = jnp.zeros((L + 1,), jnp.int32).at[flat].add(1)[:L]
+    mark = (mark > 0) & m.lms.valid
+    ids, = jnp.nonzero(mark, size=cfg.max_local_lms, fill_value=L)
+    return ids.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "radius"))
+def track_local_map_match(
+    m: MapState,
+    local_ids: jax.Array,     # i32[max_local_lms]
+    frame: FrameArrays,
+    lm_of_feat: jax.Array,    # i32[F] existing associations (kept)
+    R: jax.Array,
+    t: jax.Array,
+    cfg: EngineConfig,
+    radius: float = 6.0,
+):
+    """Project the local map and match unassociated features (reference:
+    SearchLocalPoints). Existing associations win over new candidates.
+    Returns (lm_of_feat i32[F], n_matches)."""
+    F = frame.uv.shape[0]
+    L = m.lms.xyz.shape[0]
+    # exclude landmarks already matched in this frame
+    already = jnp.zeros((L + 1,), bool).at[
+        jnp.where(lm_of_feat >= 0, lm_of_feat, L)
+    ].set(True)[:L]
+    _, desc, uv_pred, octv, vis = _project_landmarks(m, local_ids, R, t, cfg)
+    safe = jnp.clip(local_ids, 0, L - 1)
+    vis = vis & ~already[safe]
+    feat_free = frame.valid & (lm_of_feat < 0)
+    match_ft, _ = matching.match_projected(
+        desc, uv_pred, vis, octv,
+        frame.desc, frame.uv, feat_free, frame.octave,
+        radius=radius, scale_factor=cfg.scale_factor,
+        max_dist=cfg.th_high, ratio=0.8, octave_band=2,
+    )
+    new_lm = jnp.full((F,), INVALID_ID, jnp.int32)
+    src = jnp.where(match_ft >= 0, safe, L)
+    new_lm = new_lm.at[jnp.where(match_ft >= 0, match_ft, F)].set(
+        src.astype(jnp.int32), mode="drop"
+    )
+    new_lm = jnp.where(new_lm >= L, INVALID_ID, new_lm)
+    merged = jnp.where(lm_of_feat >= 0, lm_of_feat, new_lm)
+    return merged, jnp.sum((merged >= 0).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def gather_track_problem(
+    m: MapState,
+    frame: FrameArrays,
+    lm_of_feat: jax.Array,
+    cfg: EngineConfig,
+):
+    """Build the (X, uv, inv_sigma2, valid) arrays for pose optimization."""
+    L = m.lms.xyz.shape[0]
+    safe = jnp.clip(lm_of_feat, 0, L - 1)
+    valid = (lm_of_feat >= 0) & frame.valid & m.lms.valid[safe]
+    X = m.lms.xyz[safe]
+    inv_sigma2 = cfg.scale_factor ** (-2.0 * frame.octave.astype(jnp.float32))
+    return X, frame.uv, inv_sigma2, valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def filter_outlier_assoc(
+    R: jax.Array,
+    t: jax.Array,
+    m: MapState,
+    frame: FrameArrays,
+    lm_of_feat: jax.Array,
+    cfg: EngineConfig,
+    chi2_th: float = 5.991,
+):
+    """Drop associations failing the chi2 gate at the final pose."""
+    X, uv, inv_s2, valid = gather_track_problem(m, frame, lm_of_feat, cfg)
+    uv_hat, z = geo.project(R, t, X, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+    chi2 = jnp.sum((uv_hat - uv) ** 2, -1) * inv_s2
+    ok = valid & (z > 1e-3) & (chi2 <= chi2_th)
+    out = jnp.where(ok, lm_of_feat, INVALID_ID)
+    return out, jnp.sum(ok.astype(jnp.int32))
