@@ -1,0 +1,65 @@
+"""Benchmark harness: frames/s of the full tracking pipeline.
+
+Emits ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The baseline is the reference C++ pipeline's ~30 fps on TUM-class input
+(SURVEY.md §6 proxy numbers; BASELINE.json `published` is empty).
+
+Runs on whatever backend JAX selects (the driver runs it on the real TPU
+chip). The workload is the reference's hot path: 640x480 monocular frames,
+1000 features, 8 pyramid levels — frontend + matching + pose optimization +
+keyframe mapping/BA amortized over the sequence.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dialog_tpu.config import EngineConfig
+    from dialog_tpu.datasets import synth
+    from dialog_tpu.system import Engine
+
+    cfg = EngineConfig(
+        width=640, height=480, n_features=1000, max_features=1024,
+        max_keyframes=128, max_landmarks=16384, max_local_lms=4096,
+        max_frames_between_kf=10,
+    )
+    n_frames = 60
+    scene = synth.make_scene(seed=3, n_points=1500, n_frames=n_frames, cfg=cfg)
+    images = [synth.render_image(scene, i) for i in range(n_frames)]
+
+    eng = Engine(cfg)
+    # warmup: compile every step variant on the first frames
+    for i in range(8):
+        eng.track_image(jnp.asarray(images[i]), float(i) / 30.0)
+
+    t0 = time.perf_counter()
+    for i in range(8, n_frames):
+        eng.track_image(jnp.asarray(images[i]), float(i) / 30.0)
+    jax.block_until_ready(eng.m.kfs.R)
+    elapsed = time.perf_counter() - t0
+    fps = (n_frames - 8) / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_fps_tum_class_mono",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Command-line entry points.
+
+Replaces the reference's per-dataset example binaries (canonical
+``Examples/{Monocular,Stereo,RGB-D}/*.cc`` — SURVEY.md §2.1): run a
+sequence through the engine, print per-frame timing stats (median/mean
+track time, as the reference mains do at exit), save the trajectory, and
+evaluate ATE when ground truth is available.
+
+Usage::
+
+    dialog-tpu run-tum  <seq_dir> [--settings TUM1.yaml] [--rgbd] [--out traj.txt]
+    dialog-tpu run-kitti <seq_dir> [--settings KITTI00-02.yaml] [--mono] [--out traj.txt]
+    dialog-tpu run-synth [--frames N] [--trajectory sweep|loop]
+    dialog-tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _timing_stats(times: list[float]) -> str:
+    t = np.sort(np.asarray(times))
+    if len(t) == 0:
+        return "no frames"
+    return (
+        f"median track time: {np.median(t) * 1e3:.1f} ms | "
+        f"mean: {t.mean() * 1e3:.1f} ms | fps: {1.0 / max(t.mean(), 1e-9):.1f}"
+    )
+
+
+def _finish(eng, times, out_path, fmt, gt_positions=None):
+    print(_timing_stats(times))
+    states = [r.state for r in eng.trajectory]
+    n_ok = sum(1 for s in states if s == "OK")
+    print(f"tracked {n_ok}/{len(states)} frames | keyframes: {eng.kf_count}")
+    if out_path:
+        if fmt == "kitti":
+            eng.save_trajectory_kitti(out_path)
+        else:
+            eng.save_trajectory_tum(out_path)
+        print(f"trajectory -> {out_path}")
+    if gt_positions is not None and n_ok > 10:
+        from .eval.ate import ate_rmse
+
+        idx = [i for i, s in enumerate(states) if s == "OK"]
+        n = min(len(idx), len(gt_positions))
+        err = ate_rmse(eng.positions[idx[:n]], gt_positions[:n])
+        print(f"ATE RMSE (scale-aligned): {err * 100:.2f} cm")
+
+
+def run_tum(args) -> None:
+    from .config import Sensor, load_yaml, EngineConfig
+    from .datasets import tum
+    from .system import Engine
+
+    sensor = Sensor.RGBD if args.rgbd else Sensor.MONOCULAR
+    cfg = (
+        load_yaml(args.settings, sensor)
+        if args.settings
+        else EngineConfig(sensor=sensor)
+    )
+    eng = Engine(cfg)
+    times = []
+    it = tum.iter_rgbd(args.seq) if args.rgbd else tum.iter_mono(args.seq)
+    for i, item in enumerate(it):
+        if args.frames and i >= args.frames:
+            break
+        t0 = time.perf_counter()
+        if args.rgbd:
+            ts, img, depth = item
+            eng.track_rgbd(img, depth, ts)
+        else:
+            ts, img = item
+            eng.track_image(img, ts)
+        times.append(time.perf_counter() - t0)
+    gt = None
+    try:
+        _, gt = tum.load_groundtruth(args.seq)
+    except FileNotFoundError:
+        pass
+    _finish(eng, times, args.out, "tum", gt)
+
+
+def run_kitti(args) -> None:
+    from .config import Sensor, load_yaml, EngineConfig
+    from .datasets import kitti
+    from .system import Engine
+
+    sensor = Sensor.MONOCULAR if args.mono else Sensor.STEREO
+    cfg = (
+        load_yaml(args.settings, sensor)
+        if args.settings
+        else EngineConfig(
+            fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+            bf=386.1448, width=1241, height=376, fps=10.0,
+            n_features=2000, max_features=2048, sensor=sensor,
+        )
+    )
+    eng = Engine(cfg)
+    times = []
+    it = kitti.iter_mono(args.seq) if args.mono else kitti.iter_stereo(args.seq)
+    for i, item in enumerate(it):
+        if args.frames and i >= args.frames:
+            break
+        t0 = time.perf_counter()
+        if args.mono:
+            ts, img = item
+            eng.track_image(img, ts)
+        else:
+            ts, left, right = item
+            eng.track_stereo(left, right, ts)
+        times.append(time.perf_counter() - t0)
+    _finish(eng, times, args.out, "kitti")
+
+
+def run_synth(args) -> None:
+    from .config import EngineConfig
+    from .datasets import synth
+    from .eval.ate import ate_rmse
+    from .system import Engine
+
+    cfg = EngineConfig(
+        max_features=512, max_keyframes=128, max_landmarks=16384,
+        max_local_lms=4096, max_frames_between_kf=8,
+    )
+    n = args.frames or 60
+    scene = synth.make_scene(
+        seed=0, n_points=1500, n_frames=n, trajectory=args.trajectory, cfg=cfg
+    )
+    eng = Engine(cfg)
+    times = []
+    for i in range(n):
+        fr, _ = synth.observe(scene, i, noise_px=0.5)
+        t0 = time.perf_counter()
+        eng.track_features(fr, float(i) / 30.0)
+        times.append(time.perf_counter() - t0)
+    states = [r.state for r in eng.trajectory]
+    idx = [i for i, s in enumerate(states) if s == "OK"]
+    gt = np.stack([-scene.R[i].T @ scene.t[i] for i in idx])
+    print(_timing_stats(times))
+    print(
+        f"tracked {len(idx)}/{n} | kfs {eng.kf_count} | "
+        f"ATE {ate_rmse(eng.positions[idx], gt) * 100:.2f} cm"
+    )
+    if args.out:
+        eng.save_trajectory_tum(args.out)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="dialog-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("run-tum", help="run a TUM sequence (mono or RGB-D)")
+    t.add_argument("seq")
+    t.add_argument("--settings")
+    t.add_argument("--rgbd", action="store_true")
+    t.add_argument("--frames", type=int)
+    t.add_argument("--out")
+    t.set_defaults(fn=run_tum)
+
+    k = sub.add_parser("run-kitti", help="run a KITTI sequence (stereo or mono)")
+    k.add_argument("seq")
+    k.add_argument("--settings")
+    k.add_argument("--mono", action="store_true")
+    k.add_argument("--frames", type=int)
+    k.add_argument("--out")
+    k.set_defaults(fn=run_kitti)
+
+    s = sub.add_parser("run-synth", help="run a synthetic sequence")
+    s.add_argument("--frames", type=int)
+    s.add_argument("--trajectory", default="sweep", choices=["sweep", "loop"])
+    s.add_argument("--out")
+    s.set_defaults(fn=run_synth)
+
+    b = sub.add_parser("bench", help="run the benchmark harness")
+    b.set_defaults(fn=lambda a: __import__("bench").main())
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

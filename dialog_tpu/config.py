@@ -81,6 +81,11 @@ class EngineConfig:
     kf_tracked_ratio: float = 0.9
     max_frames_between_kf: int = 30   # ~1 s at fps
 
+    # --- initialization ---------------------------------------------------
+    init_min_features: int = 100
+    init_min_matches: int = 100
+    init_min_good: int = 50
+
     # --- RANSAC batch sizes ----------------------------------------------
     init_ransac_iters: int = 256
     pnp_ransac_iters: int = 256
@@ -102,8 +107,11 @@ class EngineConfig:
 
     # --- vocabulary ------------------------------------------------------
     vocab_k: int = 10
-    vocab_levels: int = 4         # 10^4 = 10k leaf words
+    vocab_levels: int = 4         # kept for reference-config compat
+    vocab_words: int = 2048       # flat codebook size (TPU Hamming-argmin)
+    vocab_min_kfs: int = 5        # train the codebook once this many KFs exist
     vocab_path: Optional[str] = None
+    reloc_min_inliers: int = 25
 
     @property
     def grid_cols(self) -> int:

@@ -52,6 +52,7 @@ def make_scene(
     n_frames: int = 30,
     trajectory: str = "sweep",
     cfg: EngineConfig | None = None,
+    period: int | None = None,
 ) -> SynthScene:
     """Random landmark cloud + smooth camera path with known poses.
 
@@ -61,19 +62,19 @@ def make_scene(
     """
     cfg = cfg or EngineConfig()
     rng = np.random.default_rng(seed)
-    # landmarks in a box in front of the path
-    xyz = np.stack(
-        [
-            rng.uniform(-4.0, 4.0, n_points),
-            rng.uniform(-3.0, 3.0, n_points),
-            rng.uniform(4.0, 12.0, n_points),
-        ],
-        axis=-1,
-    ).astype(np.float32)
     desc = rng.integers(0, 2**32, (n_points, 8), dtype=np.uint32)
 
     Rs, ts = [], []
     if trajectory == "sweep":
+        # landmarks in a box in front of the path
+        xyz = np.stack(
+            [
+                rng.uniform(-4.0, 4.0, n_points),
+                rng.uniform(-3.0, 3.0, n_points),
+                rng.uniform(4.0, 12.0, n_points),
+            ],
+            axis=-1,
+        ).astype(np.float32)
         for i in range(n_frames):
             a = i / max(n_frames - 1, 1)
             eye = np.array([-1.5 + 3.0 * a, 0.3 * np.sin(2 * np.pi * a), -0.2 * a])
@@ -82,12 +83,22 @@ def make_scene(
             Rs.append(R)
             ts.append(t)
     elif trajectory == "loop":
-        center = np.array([0.0, 0.0, 8.0])
-        radius = 10.0
+        # outward-looking circular path inside a landmark ring: each section
+        # of the ring is only visible from nearby path positions, so place
+        # recognition is non-degenerate and the loop closes on return.
+        path_r = 10.0
+        ang = rng.uniform(0, 2 * np.pi, n_points)
+        rad = rng.uniform(14.0, 20.0, n_points)
+        xyz = np.stack(
+            [rad * np.sin(ang), rng.uniform(-3.0, 3.0, n_points), rad * np.cos(ang)],
+            axis=-1,
+        ).astype(np.float32)
+        per = period or n_frames
         for i in range(n_frames):
-            th = 2 * np.pi * i / n_frames
-            eye = center + radius * np.array([np.sin(th), 0.0, -np.cos(th)])
-            R, t = _lookat(eye, center)
+            th = 2 * np.pi * i / per
+            eye = path_r * np.array([np.sin(th), 0.0, np.cos(th)])
+            target = 2.5 * path_r * np.array([np.sin(th), 0.0, np.cos(th)])
+            R, t = _lookat(eye, target)
             Rs.append(R)
             ts.append(t)
     else:
@@ -133,6 +144,16 @@ def observe(
     uv = np.zeros((F, 2), np.float32)
     uv[:n, 0] = u[ids] + rng.normal(0, noise_px, n)
     uv[:n, 1] = v[ids] + rng.normal(0, noise_px, n)
+    # detection octave tracks apparent size (closer -> coarser level), as a
+    # real pyramid detector does; the tracker's scale-band prediction
+    # (MapPoint::PredictScale analogue) relies on this.
+    octave = np.zeros((F,), np.int32)
+    dist = np.linalg.norm(scene.xyz[ids] - (-(R.T @ t)), axis=1)
+    octave[:n] = np.clip(
+        np.round(np.log(25.0 / np.maximum(dist, 1e-3)) / np.log(cfg.scale_factor)),
+        0,
+        cfg.n_levels - 1,
+    ).astype(np.int32)
     desc = np.zeros((F, 8), np.uint32)
     desc[:n] = scene.desc[ids]
     # flip a few random bits per observation (descriptor noise)
@@ -157,7 +178,7 @@ def observe(
         uv=jnp.asarray(uv),
         uv_raw=jnp.asarray(uv),
         response=jnp.where(jnp.asarray(valid), 50.0, 0.0),
-        octave=jnp.zeros((F,), jnp.int32),
+        octave=jnp.asarray(octave),
         angle=jnp.zeros((F,), jnp.float32),
         desc=jnp.asarray(desc),
         valid=jnp.asarray(valid),

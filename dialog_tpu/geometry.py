@@ -67,30 +67,36 @@ def so3_exp(phi):
 
 
 def so3_log(R):
-    """Log map (..., 3, 3) -> (..., 3); safe at theta=0 and near pi."""
+    """Log map (..., 3, 3) -> (..., 3); safe at theta=0 and near pi.
+
+    Autodiff-safe: every branch of each `where` evaluates to finite values
+    *and* finite derivatives at every input (double-where trick), so this can
+    sit inside `jax.jacfwd` — the pose-graph optimizer differentiates through
+    it. `arccos` is avoided (infinite derivative at +-1).
+    """
+    skew = vee(R - jnp.swapaxes(R, -1, -2))      # 2 sin(theta) * axis
+    s2 = jnp.sum(skew * skew, axis=-1)           # 4 sin^2(theta)
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # Generic branch: theta / (2 sin theta) * (R - R^T)^vee
-    sin_t = jnp.sin(theta)
-    generic_scale = jnp.where(
-        jnp.abs(sin_t) < 1e-6,
-        0.5 + theta * theta / 12.0,  # Taylor of theta/(2 sin theta)
-        theta / (2.0 * sin_t + _EPS),
-    )
-    w_generic = vee(R - jnp.swapaxes(R, -1, -2)) * generic_scale[..., None]
-    # Near-pi branch: axis from diagonal of (R + I)/2.
-    # R + I = 2 (I cos + (1-cos) aa^T + ...) ; columns of R+I align with axis.
+
+    small = s2 < 1e-10                           # theta near 0 or pi
+    s2_safe = jnp.where(small, 1.0, s2)
+    sin_t = 0.5 * jnp.sqrt(s2_safe)              # |sin theta| (safe grad)
+    theta_g = jnp.arctan2(sin_t, cos_t)          # valid when not small
+    # theta/(2 sin theta); Taylor 0.5 + theta^2/12 with theta^2 ~ s2/4
+    scale = jnp.where(small, 0.5 + s2 / 48.0, theta_g / (2.0 * sin_t))
+    w_generic = skew * scale[..., None]
+
+    # Near-pi branch: axis from the largest column of R + I.
     B = R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
-    col_norms = jnp.linalg.norm(B, axis=-2)
-    col = jnp.argmax(col_norms, axis=-1)
+    col_norms2 = jnp.sum(B * B, axis=-2)
+    col = jnp.argmax(col_norms2, axis=-1)
     axis = jnp.take_along_axis(B, col[..., None, None], axis=-1)[..., 0]
-    axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + _EPS)
-    # Fix sign using the skew part.
-    skew = vee(R - jnp.swapaxes(R, -1, -2))
+    axis = axis * jax.lax.rsqrt(jnp.sum(axis * axis, axis=-1, keepdims=True) + _EPS)
     sign = jnp.where(jnp.sum(skew * axis, axis=-1) < 0.0, -1.0, 1.0)
-    w_pi = axis * (sign * theta)[..., None]
-    near_pi = theta > (jnp.pi - 1e-3)
+    theta_pi = jnp.arctan2(0.5 * jnp.sqrt(s2 + 1e-12), cos_t)
+    w_pi = axis * (sign * theta_pi)[..., None]
+    near_pi = cos_t < -0.999995
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
@@ -417,6 +423,41 @@ def project_jacobians(R, t, X, fx, fy, cx, cy):
     J_pose = J_proj @ J_xc_pose  # (..., 2, 6)
     J_point = J_proj @ R  # (..., 2, 3)
     return uv, z, J_pose, J_point
+
+
+def stereo_project_jacobians(R, t, X, fx, fy, cx, cy, bf):
+    """Stereo residual-model Jacobians: observation (u, v, uR).
+
+    Returns (uvr (..., 3), z, J_pose (..., 3, 6), J_point (..., 3, 3)).
+    Reference: g2o EdgeStereoSE3ProjectXYZOnlyPose's linearizeOplus.
+    """
+    Xc = se3_apply(R, t, X)
+    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    inv_z = 1.0 / zs
+    inv_z2 = inv_z * inv_z
+    u = fx * x * inv_z + cx
+    v = fy * y * inv_z + cy
+    uR = u - bf * inv_z
+    uvr = jnp.stack([u, v, uR], axis=-1)
+    zero = jnp.zeros_like(x)
+    J_proj = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zero, -fx * x * inv_z2], axis=-1),
+            jnp.stack([zero, fy * inv_z, -fy * y * inv_z2], axis=-1),
+            jnp.stack(
+                [fx * inv_z, zero, -fx * x * inv_z2 + bf * inv_z2], axis=-1
+            ),
+        ],
+        axis=-2,
+    )  # (..., 3, 3) d(u,v,uR)/dXc
+    J_xc_pose = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), Xc.shape + (3,)), -hat(Xc)],
+        axis=-1,
+    )
+    J_pose = J_proj @ J_xc_pose
+    J_point = J_proj @ R
+    return uvr, z, J_pose, J_point
 
 
 def stereo_project(R, t, X, fx, fy, cx, cy, bf):

@@ -1,0 +1,166 @@
+"""Loop detection and closure.
+
+Replaces the reference's loop-closing thread (canonical
+``src/LoopClosing.cc`` — SURVEY.md §2.1/§3.4), run synchronously per
+keyframe: BoW candidate retrieval (one matrix product against the keyframe
+BoW database), the 3-consecutive covisibility-consistency gate, batched Horn
+Sim3 RANSAC between the two ends, Sim3 propagation, essential-graph pose
+optimization, and landmark correction. The transient global-BA thread of the
+reference becomes an optional synchronous refinement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry as geo
+from . import matching
+from .config import EngineConfig
+from .containers import MapState
+from .sim3 import solve_sim3_ransac
+from .optim.pose_graph import (
+    build_pose_graph,
+    solve_pose_graph,
+    apply_pose_graph_correction,
+)
+
+
+@dataclasses.dataclass
+class LoopCandidate:
+    cand_kf: int
+    s: float            # S21: cur-cam -> cand-cam similarity
+    R: np.ndarray
+    t: np.ndarray
+    n_inliers: int
+
+
+class LoopCloser:
+    """Host-side consistency bookkeeping + device-step orchestration."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        # list of (group_set, count) from previous keyframes
+        self._consistent: list[tuple[set[int], int]] = []
+        self.closed_loops: list[tuple[int, int]] = []
+        self._last_loop_kf = -(10**9)
+
+    # --- detection (reference: LoopClosing::DetectLoop) -----------------
+
+    def detect(self, m: MapState, bow_db, vocab, cur_kf: int) -> list[int]:
+        """Return loop candidate KF slots passing the consistency gate."""
+        from . import vocab as _vocab
+
+        cfg = self.cfg
+        if bow_db is None or vocab is None:
+            return []
+        covis_row = np.asarray(m.covis[cur_kf])
+        kf_valid = np.asarray(m.kfs.valid)
+        neighbors = (covis_row > 0) & kf_valid
+        if cur_kf - self._last_loop_kf < 10:
+            return []
+
+        q = bow_db[cur_kf]
+        scores = np.array(_vocab.bow_l1_scores(jnp.asarray(q), jnp.asarray(bow_db)))
+        scores[~kf_valid] = -1.0
+        scores[cur_kf] = -1.0
+        # min score among covisible neighbors defines the gate
+        neigh_scores = scores[neighbors & (covis_row >= 15)]
+        min_score = float(neigh_scores.min()) if len(neigh_scores) else 0.3
+        # candidates: non-neighbors above the gate, not too recent
+        recent = np.arange(len(scores)) > cur_kf - 8
+        cand_mask = (scores >= max(min_score, 0.05)) & ~neighbors & ~recent
+        cands = np.nonzero(cand_mask)[0]
+
+        # 3-consecutive-KF covisibility consistency (reference gate)
+        accepted = []
+        new_groups: list[tuple[set[int], int]] = []
+        for c in cands:
+            group = set(np.nonzero((np.asarray(m.covis[int(c)]) > 0) & kf_valid)[0])
+            group.add(int(c))
+            count = 1
+            for prev_group, prev_count in self._consistent:
+                if group & prev_group:
+                    count = max(count, prev_count + 1)
+            new_groups.append((group, count))
+            if count >= self.cfg.covis_consistency_th:
+                accepted.append(int(c))
+        self._consistent = new_groups
+        return accepted
+
+    # --- Sim3 computation (reference: LoopClosing::ComputeSim3) ---------
+
+    def compute_sim3(
+        self, m: MapState, cur_kf: int, cand_kf: int, key
+    ) -> LoopCandidate | None:
+        cfg = self.cfg
+        kfs, lms = m.kfs, m.lms
+        L = lms.xyz.shape[0]
+        cur = jnp.int32(cur_kf)
+        cand = jnp.int32(cand_kf)
+
+        obs_c = kfs.obs_lm[cur]
+        obs_k = kfs.obs_lm[cand]
+        ok_c = kfs.feat_valid[cur] & (obs_c >= 0) & lms.valid[jnp.clip(obs_c, 0, L - 1)]
+        ok_k = kfs.feat_valid[cand] & (obs_k >= 0) & lms.valid[jnp.clip(obs_k, 0, L - 1)]
+        dist = matching.hamming_distance_matrix(kfs.desc[cur], kfs.desc[cand])
+        mb, _ = matching.match_mutual(dist, ok_c, ok_k, max_dist=cfg.th_low, ratio=0.75)
+        has = mb >= 0
+        n_matches = int(jnp.sum(has))
+        if n_matches < 20:
+            return None
+
+        jb = jnp.clip(mb, 0, obs_k.shape[0] - 1)
+        X_cur_w = lms.xyz[jnp.clip(obs_c, 0, L - 1)]
+        X_cand_w = lms.xyz[jnp.clip(obs_k[jb], 0, L - 1)]
+        # camera-frame points at the two ends (drifted world frames differ)
+        X1 = geo.se3_apply(kfs.R[cur], kfs.t[cur], X_cur_w)
+        X2 = geo.se3_apply(kfs.R[cand], kfs.t[cand], X_cand_w)
+        fix_scale = cfg.sensor.name != "MONOCULAR"
+        res = solve_sim3_ransac(
+            X1, X2, has, key, iters=cfg.sim3_ransac_iters,
+            fix_scale=fix_scale, min_inliers=20,
+        )
+        if not bool(res.success):
+            return None
+        return LoopCandidate(
+            cand_kf=cand_kf,
+            s=float(res.s),
+            R=np.asarray(res.R),
+            t=np.asarray(res.t),
+            n_inliers=int(res.n_inliers),
+        )
+
+    # --- correction (reference: LoopClosing::CorrectLoop) ---------------
+
+    def correct(
+        self,
+        m: MapState,
+        cur_kf: int,
+        loop: LoopCandidate,
+        cfg: EngineConfig,
+        pose_graph_iters: int = 15,
+    ) -> MapState:
+        """Pose-graph optimize with the loop edge and move the landmarks."""
+        # loop edge measurement between nodes: S_ij = S_i o S_j^-1 with
+        # i = cur, j = cand must equal S21^-1 (cand-cam -> cur-cam).
+        s21 = jnp.float32(loop.s)
+        R21 = jnp.asarray(loop.R)
+        t21 = jnp.asarray(loop.t)
+        s_m, R_m, t_m = geo.sim3_inv(s21, R21, t21)
+
+        prob = build_pose_graph(
+            m, cfg,
+            loop_i=jnp.int32(cur_kf), loop_j=jnp.int32(loop.cand_kf),
+            loop_s=s_m, loop_R=R_m, loop_t=t_m,
+            fixed_kf=jnp.int32(loop.cand_kf),
+        )
+        s, R, t, cost = solve_pose_graph(prob, iters=pose_graph_iters)
+        m = apply_pose_graph_correction(m, s, R, t, cfg)
+        self.closed_loops.append((cur_kf, loop.cand_kf))
+        self._last_loop_kf = cur_kf
+        self._consistent = []
+        return m

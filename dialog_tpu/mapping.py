@@ -217,6 +217,40 @@ def triangulate_between(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def spawn_depth_landmarks(m: MapState, slot: jax.Array, cfg: EngineConfig) -> MapState:
+    """Create landmarks from a keyframe's depth channel (stereo/RGB-D).
+
+    Reference: Tracking::CreateNewKeyFrame spawns close points
+    (depth < ThDepth * baseline) for features without a map point; also the
+    whole of StereoInitialization for the first keyframe.
+    """
+    kfs = m.kfs
+    F = kfs.uv.shape[1]
+    L = m.lms.xyz.shape[0]
+    depth = kfs.depth[slot]
+    cand = (
+        kfs.feat_valid[slot]
+        & (kfs.obs_lm[slot] < 0)
+        & (depth > 0.0)
+        & (depth < cfg.th_depth * jnp.maximum(cfg.baseline, 1e-6))
+    )
+    R, t = kfs.R[slot], kfs.t[slot]
+    xn = (kfs.uv[slot] - jnp.array([cfg.cx, cfg.cy])) / jnp.array([cfg.fx, cfg.fy])
+    Xc = jnp.concatenate([xn * depth[:, None], depth[:, None]], axis=-1)
+    Rinv, tinv = geo.se3_inv(R, t)
+    Xw = geo.se3_apply(Rinv, tinv, Xc)
+
+    m, slot_of = alloc_landmarks(
+        m, Xw, kfs.desc[slot], kfs.octave[slot], cand, slot, -R.T @ t, cfg
+    )
+    can = slot_of < L
+    new_obs = jnp.where(can, slot_of, m.kfs.obs_lm[slot])
+    obs_lm = m.kfs.obs_lm.at[slot].set(new_obs)
+    lms = m.lms._replace(n_obs=m.lms.n_obs.at[slot_of].add(1, mode="drop"))
+    return m._replace(kfs=m.kfs._replace(obs_lm=obs_lm), lms=lms)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def fuse_landmarks_into_kf(
     m: MapState,
     src_kf: jax.Array,     # landmarks of this keyframe are projected...

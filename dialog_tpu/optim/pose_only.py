@@ -2,11 +2,12 @@
 
 Replaces the reference's ``Optimizer::PoseOptimization`` (canonical
 ``src/Optimizer.cc`` — SURVEY.md §2.1): unary SE3-projection edges with
-Huber robustification, run as 4 rounds of 10 LM iterations with chi2
-inlier re-classification between rounds. Here the whole solve is one jitted
-call: residuals/Jacobians for every observation at once (analytic, from
-``geometry.project_jacobians``), 6x6 normal equations by a masked reduction,
-and the damped-LM accept/reject loop from ``lm.py``.
+Huber robustification, run as rounds of LM iterations with chi2 inlier
+re-classification between rounds. Monocular edges are 2D (u, v); stereo
+observations get the 3D (u, v, uR) residual of g2o's
+``EdgeStereoSE3ProjectXYZOnlyPose``. The whole solve is one jitted call:
+residuals/Jacobians for every observation at once (analytic), 6x6 normal
+equations by a masked reduction, and the damped-LM accept/reject loop.
 
 Observations are weighted by the detection octave's scale variance
 (sigma2 = scale_factor^(2*octave)), as in the reference's invSigma2 tables.
@@ -32,14 +33,31 @@ class PoseOptResult(NamedTuple):
     cost: jax.Array      # f32 final robust cost
 
 
-def _system(R, t, X, uv, w_obs, valid, fx, fy, cx, cy, delta2):
-    """Robust cost + 6x6 normal equations for all observations at once."""
-    uv_hat, z, J_pose, _ = geo.project_jacobians(R, t, X, fx, fy, cx, cy)
-    r = uv_hat - uv                                  # [N, 2]
+def _residual_rows(R, t, X, uv, u_right, fx, fy, cx, cy, bf, use_stereo):
+    """Residual rows + Jacobians: r [N, D], J [N, D, 6], D = 2 or 3."""
+    if use_stereo:
+        uvr_hat, z, J, _ = geo.stereo_project_jacobians(
+            R, t, X, fx, fy, cx, cy, bf
+        )
+        obs = jnp.concatenate([uv, u_right[..., None]], axis=-1)
+        r = uvr_hat - obs
+        # monocular observations (u_right < 0): mask the third row
+        has_ur = u_right >= 0.0
+        r = r.at[..., 2].set(jnp.where(has_ur, r[..., 2], 0.0))
+        J = J.at[..., 2, :].set(
+            jnp.where(has_ur[..., None], J[..., 2, :], 0.0)
+        )
+        return r, J, z
+    uv_hat, z, J, _ = geo.project_jacobians(R, t, X, fx, fy, cx, cy)
+    return uv_hat - uv, J, z
+
+
+def _system(R, t, X, uv, u_right, w_obs, valid, fx, fy, cx, cy, bf, delta2, use_stereo):
+    r, J, z = _residual_rows(R, t, X, uv, u_right, fx, fy, cx, cy, bf, use_stereo)
     ok = valid & (z > 1e-3)
-    chi2 = jnp.sum(r * r, -1) * w_obs                # scale-weighted squared err
+    chi2 = jnp.sum(r * r, -1) * w_obs
     w_rob = huber_weight(chi2, delta2)
-    w = jnp.where(ok, w_obs * w_rob, 0.0)            # [N]
+    w = jnp.where(ok, w_obs * w_rob, 0.0)
     cost = jnp.sum(
         jnp.where(
             ok,
@@ -51,12 +69,12 @@ def _system(R, t, X, uv, w_obs, valid, fx, fy, cx, cy, delta2):
             0.0,
         )
     )
-    H = jnp.einsum("nki,n,nkj->ij", J_pose, w, J_pose)
-    g = jnp.einsum("nki,n,nk->i", J_pose, w, r)
+    H = jnp.einsum("nki,n,nkj->ij", J, w, J)
+    g = jnp.einsum("nki,n,nk->i", J, w, r)
     return cost, H, g
 
 
-@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+@functools.partial(jax.jit, static_argnames=("rounds", "iters", "use_stereo"))
 def pose_optimization(
     R0: jax.Array,
     t0: jax.Array,
@@ -71,15 +89,22 @@ def pose_optimization(
     chi2_th: float = 5.991,
     rounds: int = 4,
     iters: int = 10,
+    u_right: jax.Array | None = None,   # f32[N]; <0 = monocular observation
+    bf: float = 0.0,
+    use_stereo: bool = False,
 ) -> PoseOptResult:
     """Optimize T_cw against fixed 3D points; returns pose + inlier set."""
-
-    def classify(R, t, inlier):
-        uv_hat, z, _, _ = geo.project_jacobians(R, t, X, fx, fy, cx, cy)
-        chi2 = jnp.sum((uv_hat - uv) ** 2, -1) * inv_sigma2
-        return valid & (z > 1e-3) & (chi2 <= chi2_th)
+    if u_right is None:
+        u_right = jnp.full(X.shape[:1], -1.0)
 
     R0 = geo.orthogonalize(R0)
+
+    def classify(R, t, base):
+        r, _, z = _residual_rows(
+            R, t, X, uv, u_right, fx, fy, cx, cy, bf, use_stereo
+        )
+        chi2 = jnp.sum(r * r, -1) * inv_sigma2
+        return base & (z > 1e-3) & (chi2 <= chi2_th)
 
     def one_round(carry, _):
         R, t, inlier = carry
@@ -88,7 +113,8 @@ def pose_optimization(
         def cas(x):
             Rx, tx = x
             return _system(
-                Rx, tx, X, uv, inv_sigma2, inlier, fx, fy, cx, cy, chi2_th
+                Rx, tx, X, uv, u_right, inv_sigma2, inlier,
+                fx, fy, cx, cy, bf, chi2_th, use_stereo,
             )
 
         def retract(x, dx):

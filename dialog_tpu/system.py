@@ -92,6 +92,13 @@ class Engine:
         self._vel: Optional[tuple[np.ndarray, np.ndarray]] = None
         self.trajectory: list[FrameRecord] = []
         self._key = jax.random.PRNGKey(cfg.n_features)
+        # place recognition (reference: ORBVocabulary + KeyFrameDatabase)
+        self._vocab = None
+        self._bow_db = None  # f32[K, W] BoW vector per keyframe
+        from .loopclosing import LoopCloser
+
+        self._loop = LoopCloser(cfg)
+        self.loop_closing_enabled = True
 
     # ------------------------------------------------------------------
     # public API
@@ -102,6 +109,27 @@ class Engine:
         frame = extract_features(jnp.asarray(img), self.cfg)
         frame = self._undistort(frame)
         return self.track_features(frame, timestamp)
+
+    def track_stereo(self, img_left, img_right, timestamp: float) -> FrameRecord:
+        """Stereo pair entry (reference: System::TrackStereo)."""
+        from .stereo import stereo_match_frames
+
+        img_left = jnp.asarray(img_left, jnp.float32)
+        img_right = jnp.asarray(img_right, jnp.float32)
+        left = extract_features(img_left, self.cfg)
+        right = extract_features(img_right, self.cfg)
+        left = stereo_match_frames(
+            left, right, self.cfg, img_left=img_left, img_right=img_right
+        )
+        return self.track_features(self._undistort(left), timestamp)
+
+    def track_rgbd(self, img, depth_img, timestamp: float) -> FrameRecord:
+        """RGB-D entry (reference: System::TrackRGBD)."""
+        from .stereo import depth_from_rgbd
+
+        frame = extract_features(jnp.asarray(img), self.cfg)
+        frame = depth_from_rgbd(frame, jnp.asarray(depth_img), self.cfg)
+        return self.track_features(self._undistort(frame), timestamp)
 
     def track_features(self, frame: FrameArrays, timestamp: float) -> FrameRecord:
         """Track a pre-extracted feature frame (also the synthetic-data entry)."""
@@ -197,8 +225,10 @@ class Engine:
 
     def _initialize(self, frame: FrameArrays, ts: float) -> FrameRecord:
         cfg = self.cfg
+        if cfg.sensor != Sensor.MONOCULAR:
+            return self._initialize_depth(frame, ts)
         n_valid = int(jnp.sum(frame.valid))
-        if self._init_frame is None or n_valid < 100:
+        if self._init_frame is None or n_valid < cfg.init_min_features:
             self._set_init_frame(frame, ts, n_valid)
             return self._record(ts, np.eye(3), np.zeros(3))
 
@@ -209,7 +239,7 @@ class Engine:
             angle_a=self._init_frame.angle, angle_b=frame.angle,
         )
         ok = mb >= 0
-        if int(jnp.sum(ok)) < 100:
+        if int(jnp.sum(ok)) < cfg.init_min_matches:
             self._set_init_frame(frame, ts, n_valid)
             return self._record(ts, np.eye(3), np.zeros(3))
 
@@ -219,6 +249,7 @@ class Engine:
         res = initialize_two_view(
             self._init_frame.uv, uv2, ok,
             cfg.fx, cfg.fy, cfg.cx, cfg.cy, sub, iters=cfg.init_ransac_iters,
+            min_good=cfg.init_min_good,
         )
         if not bool(res.success):
             # keep the init frame for a few attempts, then re-seed
@@ -272,8 +303,39 @@ class Engine:
         self.last_kf_tracked = n_pts
         return self._record(ts, self._last_R, self._last_t, n_pts, ref_kf=1)
 
+    def _initialize_depth(self, frame: FrameArrays, ts: float) -> FrameRecord:
+        """Stereo/RGB-D bootstrap: first well-covered depth frame becomes KF0
+        and spawns landmarks directly (reference: StereoInitialization)."""
+        cfg = self.cfg
+        n_depth = int(jnp.sum(frame.valid & (frame.depth > 0)))
+        if n_depth < cfg.init_min_features:
+            return self._record(ts, np.eye(3), np.zeros(3))
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        zero3 = jnp.zeros(3, dtype=jnp.float32)
+        F = frame.uv.shape[0]
+        lm_none = jnp.full((F,), INVALID_ID, jnp.int32)
+        m = mapping.insert_keyframe(
+            self.m, frame, eye3, zero3, lm_none,
+            jnp.int32(self.frame_id), jnp.float32(ts),
+            jnp.int32(0), jnp.int32(-1), cfg,
+        )
+        m = mapping.spawn_depth_landmarks(m, jnp.int32(0), cfg)
+        self.m = m
+        self.kf_count = 1
+        self.ref_kf = 0
+        self.last_kf_frame_id = self.frame_id
+        self.state = OK
+        self._last_frame = frame
+        self._last_lm_ids = self.m.kfs.obs_lm[0]
+        self._last_R = np.eye(3, dtype=np.float32)
+        self._last_t = np.zeros(3, dtype=np.float32)
+        self._vel = None
+        n_pts = int(jnp.sum(self.m.kfs.obs_lm[0] >= 0))
+        self.last_kf_tracked = n_pts
+        return self._record(ts, eye3, zero3, n_pts, ref_kf=0)
+
     def _set_init_frame(self, frame, ts, n_valid):
-        self._init_frame = frame if n_valid >= 100 else None
+        self._init_frame = frame if n_valid >= self.cfg.init_min_features else None
         self._init_ts = ts
         self._init_fid = self.frame_id
 
@@ -281,6 +343,11 @@ class Engine:
 
     def _track(self, frame: FrameArrays, ts: float) -> FrameRecord:
         cfg = self.cfg
+        if self.state == LOST:
+            rec = self._try_relocalize(frame, ts)
+            if rec is not None:
+                return rec
+            # fall through: retry tracking from the last known pose
         # constant-velocity prediction
         if self._vel is not None:
             Rv, tv = self._vel
@@ -310,11 +377,13 @@ class Engine:
             return self._handle_lost(frame, ts)
 
         X, uv, inv_s2, valid = tracking.gather_track_problem(self.m, frame, lm_ids, cfg)
+        use_st = cfg.sensor != Sensor.MONOCULAR and cfg.bf > 0
         res = pose_optimization(
             R_pred, t_pred, X, uv, inv_s2, valid,
             cfg.fx, cfg.fy, cfg.cx, cfg.cy,
-            chi2_th=cfg.chi2_mono,
+            chi2_th=cfg.chi2_stereo if use_st else cfg.chi2_mono,
             rounds=cfg.pose_opt_rounds, iters=cfg.pose_opt_iters,
+            u_right=frame.u_right, bf=cfg.bf, use_stereo=use_st,
         )
         if int(res.n_inliers) < cfg.min_inliers_track:
             return self._handle_lost(frame, ts)
@@ -329,8 +398,9 @@ class Engine:
         res = pose_optimization(
             res.R, res.t, X, uv, inv_s2, valid,
             cfg.fx, cfg.fy, cfg.cx, cfg.cy,
-            chi2_th=cfg.chi2_mono,
+            chi2_th=cfg.chi2_stereo if use_st else cfg.chi2_mono,
             rounds=2, iters=cfg.pose_opt_iters,
+            u_right=frame.u_right, bf=cfg.bf, use_stereo=use_st,
         )
         n_tracked = int(res.n_inliers)
         if n_tracked < cfg.min_inliers_local:
@@ -358,13 +428,98 @@ class Engine:
         return self._record(ts, R_cur, t_cur, n_tracked, ref_kf=self.ref_kf)
 
     def _handle_lost(self, frame: FrameArrays, ts: float) -> FrameRecord:
-        """v0 loss handling: keep last pose, try reference-KF match next frame
-        (BoW relocalization lands with the vocabulary module)."""
         self.state = LOST
         self._last_frame = frame
         self._vel = None
         ref = self.ref_kf if self.kf_count > 0 else -1
         return self._record(ts, self._last_R, self._last_t, 0, ref_kf=ref)
+
+    # --- place recognition & relocalization ---------------------------
+
+    def _ensure_vocab(self):
+        """Train the codebook from map descriptors once enough KFs exist
+        (the reference instead loads a shipped 145 MB vocabulary at startup)."""
+        if self._vocab is not None or self.kf_count < self.cfg.vocab_min_kfs:
+            return
+        from . import vocab as _vocab
+
+        kfs = self.m.kfs
+        K, F = kfs.obs_lm.shape
+        desc = kfs.desc.reshape(K * F, 8)
+        valid = (kfs.feat_valid & kfs.valid[:, None]).reshape(K * F)
+        self._key, sub = jax.random.split(self._key)
+        self._vocab = _vocab.train_vocab(
+            desc, valid, sub, n_words=self.cfg.vocab_words, iters=6
+        )
+        # backfill BoW rows for existing keyframes
+        self._bow_db = jnp.zeros((K, self.cfg.vocab_words), jnp.float32)
+        for k in range(self.kf_count):
+            self._update_bow_row(k)
+
+    def _update_bow_row(self, slot: int):
+        from . import vocab as _vocab
+
+        if self._vocab is None:
+            return
+        kfs = self.m.kfs
+        v = _vocab.bow_vector(
+            self._vocab, kfs.desc[slot], kfs.feat_valid[slot]
+        )
+        self._bow_db = self._bow_db.at[slot].set(v)
+
+    def _try_relocalize(self, frame: FrameArrays, ts: float):
+        """BoW candidates -> PnP RANSAC -> pose refine (reference:
+        Tracking::Relocalization via DetectRelocalizationCandidates + EPnP).
+        Returns a FrameRecord on success, None on failure."""
+        from . import vocab as _vocab
+        from .pnp import solve_pnp_ransac
+
+        self._ensure_vocab()
+        if self._vocab is None:
+            return None
+        cfg = self.cfg
+        q = _vocab.bow_vector(self._vocab, frame.desc, frame.valid)
+        scores = _vocab.bow_l1_scores(q, self._bow_db)
+        scores = jnp.where(self.m.kfs.valid, scores, -1.0)
+        order = np.argsort(-np.asarray(scores))[:3]
+        for cand in order:
+            cand = int(cand)
+            if float(scores[cand]) <= 0.0:
+                break
+            lm_ids, n = tracking.match_reference_kf(
+                self.m, jnp.int32(cand), frame, cfg
+            )
+            if int(n) < 15:
+                continue
+            X, uv, inv_s2, valid = tracking.gather_track_problem(
+                self.m, frame, lm_ids, cfg
+            )
+            self._key, sub = jax.random.split(self._key)
+            pnp = solve_pnp_ransac(
+                X, uv, valid, cfg.fx, cfg.fy, cfg.cx, cfg.cy, sub,
+                iters=cfg.pnp_ransac_iters,
+            )
+            if not bool(pnp.success):
+                continue
+            res = pose_optimization(
+                pnp.R, pnp.t, X, uv, inv_s2, valid,
+                cfg.fx, cfg.fy, cfg.cx, cfg.cy, chi2_th=cfg.chi2_mono,
+            )
+            if int(res.n_inliers) < cfg.reloc_min_inliers:
+                continue
+            # recovered
+            lm_ids = jnp.where(res.inlier, lm_ids, INVALID_ID)
+            self.state = OK
+            self.ref_kf = cand
+            self._last_R = np.asarray(res.R)
+            self._last_t = np.asarray(res.t)
+            self._last_frame = frame
+            self._last_lm_ids = lm_ids
+            self._vel = None
+            return self._record(
+                ts, res.R, res.t, int(res.n_inliers), ref_kf=cand
+            )
+        return None
 
     # --- keyframe policy (reference: NeedNewKeyFrame) --------------------
 
@@ -375,8 +530,12 @@ class Engine:
         if since < 1:
             return False
         weak = n_tracked < self.cfg.kf_tracked_ratio * max(self.last_kf_tracked, 1)
+        # absolute floor: replenish the map before tracking starves, even if
+        # the previous keyframe was itself weak (reference inserts whenever
+        # mapping is idle; we have no idle gate, so use a tracked floor)
+        starving = n_tracked < 2 * self.cfg.min_inliers_local
         stale = since >= self.cfg.max_frames_between_kf
-        return (weak and n_tracked > 15) or stale
+        return ((weak or starving) and n_tracked > 15) or stale
 
     def _create_keyframe(self, frame, ts, R, t, lm_ids, n_tracked):
         cfg = self.cfg
@@ -386,6 +545,10 @@ class Engine:
             jnp.int32(self.frame_id), jnp.float32(ts),
             jnp.int32(slot), jnp.int32(self.ref_kf), cfg,
         )
+        if cfg.sensor != Sensor.MONOCULAR:
+            # close points come straight from depth (reference:
+            # CreateNewKeyFrame's close-point spawning)
+            self.m = mapping.spawn_depth_landmarks(self.m, jnp.int32(slot), cfg)
         # triangulate against several covisible neighbors (reference: 10|20)
         neighbors = mapping.best_covisible(self.m, slot, 4)
         if self.ref_kf not in neighbors:
@@ -413,13 +576,43 @@ class Engine:
             self.m = local_bundle_adjustment(
                 self.m, slot, cfg, iters=cfg.local_ba_iters
             )
-            # continue tracking from the BA-refined keyframe pose
+            # continue tracking from the BA-refined keyframe pose (the
+            # velocity prior stays: BA shifts are tiny vs frame motion)
             self._last_R = np.asarray(self.m.kfs.R[slot])
             self._last_t = np.asarray(self.m.kfs.t[slot])
-            self._vel = None
         # refresh this frame's associations with the new landmarks
         self._last_lm_ids = self.m.kfs.obs_lm[slot]
         self.ref_kf = slot
         self.kf_count += 1
         self.last_kf_frame_id = self.frame_id
         self.last_kf_tracked = n_tracked
+        self._ensure_vocab()
+        self._update_bow_row(slot)
+        self._detect_and_close_loop(slot)
+
+    def _detect_and_close_loop(self, slot: int):
+        """Per-keyframe loop detection/closure (reference: LoopClosing::Run)."""
+        if (
+            not self.loop_closing_enabled
+            or self._vocab is None
+            or self.kf_count <= 10
+        ):
+            return
+        cands = self._loop.detect(
+            self.m, np.asarray(self._bow_db), self._vocab, slot
+        )
+        for c in cands:
+            self._key, sub = jax.random.split(self._key)
+            lc = self._loop.compute_sim3(self.m, slot, c, sub)
+            if lc is None:
+                continue
+            self.m = self._loop.correct(self.m, slot, lc, self.cfg)
+            # refine the whole map after the topological correction
+            from .optim.global_ba import global_bundle_adjustment
+
+            self.m = global_bundle_adjustment(self.m, self.cfg, iters=8)
+            # resume tracking from the corrected keyframe pose
+            self._last_R = np.asarray(self.m.kfs.R[slot])
+            self._last_t = np.asarray(self.m.kfs.t[slot])
+            self._vel = None
+            break
