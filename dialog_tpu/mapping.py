@@ -342,6 +342,67 @@ def best_covisible(m: MapState, slot: int, n: int) -> list[int]:
     return [int(k) for k in order[:n] if row[k] > 0]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "spawn_depth", "n_neighbors"))
+def process_new_keyframe(
+    m: MapState,
+    frame: FrameArrays,
+    R: jax.Array,
+    t: jax.Array,
+    lm_ids: jax.Array,
+    frame_id: jax.Array,
+    timestamp: jax.Array,
+    slot: jax.Array,
+    parent: jax.Array,
+    cfg: EngineConfig,
+    spawn_depth: bool = False,
+    n_neighbors: int = 4,
+) -> MapState:
+    """The whole keyframe pipeline as ONE device dispatch.
+
+    Insert, (stereo/RGB-D) depth spawning, triangulation + duplicate fusion
+    against the top covisible neighbors (selected on device), covisibility
+    refresh, descriptor refresh, and landmark culling — the reference's
+    LocalMapping::Run body minus the thread (SURVEY.md §7.1 rule 1); the
+    follow-up local BA is a separate dispatch (optim/local_ba).
+    """
+    m = insert_keyframe(
+        m, frame, R, t, lm_ids, frame_id, timestamp, slot, parent, cfg
+    )
+    if spawn_depth:
+        m = spawn_depth_landmarks(m, slot, cfg)
+
+    K = m.kfs.valid.shape[0]
+    w = jnp.where(m.kfs.valid, m.covis[slot], 0).at[slot].set(0)
+    top_w, neighbors = jax.lax.top_k(w, n_neighbors)
+    neighbors = jnp.where(top_w > 0, neighbors, slot)  # self == skip
+
+    def tri_body(i, m):
+        nb = neighbors[i]
+        return jax.lax.cond(
+            nb != slot,
+            lambda mm: triangulate_between(mm, slot, nb, cfg),
+            lambda mm: mm,
+            m,
+        )
+
+    m = jax.lax.fori_loop(0, n_neighbors, tri_body, m)
+
+    def fuse_body(i, m):
+        nb = neighbors[i]
+
+        def do(mm):
+            mm = fuse_landmarks_into_kf(mm, slot, nb, cfg)
+            return fuse_landmarks_into_kf(mm, nb, slot, cfg)
+
+        return jax.lax.cond(nb != slot, do, lambda mm: mm, m)
+
+    m = jax.lax.fori_loop(0, n_neighbors, fuse_body, m)
+    m = update_covis_for_kf(m, slot)
+    m = refresh_landmark_descriptors(m, slot, cfg)
+    m = cull_landmarks(m, slot, cfg)
+    return m
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def cull_landmarks(m: MapState, cur_kf: jax.Array, cfg: EngineConfig) -> MapState:
     """Remove weak landmarks (reference: LocalMapping::MapPointCulling).

@@ -358,56 +358,16 @@ class Engine:
         R_pred = jnp.asarray(R_pred)
         t_pred = jnp.asarray(t_pred)
 
-        lm_ids, n = tracking.track_motion_model(
-            self.m, self._last_lm_ids, frame, R_pred, t_pred, cfg,
-            radius=cfg.motion_search_radius,
-        )
-        if int(n) < 20:
-            # wider search, then reference-KF fallback
-            lm_ids, n = tracking.track_motion_model(
-                self.m, self._last_lm_ids, frame, R_pred, t_pred, cfg,
-                radius=2.0 * cfg.motion_search_radius,
-            )
-            if int(n) < 20:
-                lm_ids, n = tracking.match_reference_kf(
-                    self.m, jnp.int32(self.ref_kf), frame, cfg
-                )
-                R_pred, t_pred = jnp.asarray(self._last_R), jnp.asarray(self._last_t)
-        if int(n) < cfg.min_inliers_track:
-            return self._handle_lost(frame, ts)
-
-        X, uv, inv_s2, valid = tracking.gather_track_problem(self.m, frame, lm_ids, cfg)
         use_st = cfg.sensor != Sensor.MONOCULAR and cfg.bf > 0
-        res = pose_optimization(
-            R_pred, t_pred, X, uv, inv_s2, valid,
-            cfg.fx, cfg.fy, cfg.cx, cfg.cy,
-            chi2_th=cfg.chi2_stereo if use_st else cfg.chi2_mono,
-            rounds=cfg.pose_opt_rounds, iters=cfg.pose_opt_iters,
-            u_right=frame.u_right, bf=cfg.bf, use_stereo=use_st,
+        R_cur_d, t_cur_d, lm_ids, n_tracked_d, n_mm_d = tracking.fused_track_step(
+            self.m, self._last_lm_ids, frame, R_pred, t_pred,
+            jnp.asarray(self._last_R), jnp.asarray(self._last_t),
+            jnp.int32(self.ref_kf), cfg, use_stereo=use_st,
         )
-        if int(res.n_inliers) < cfg.min_inliers_track:
-            return self._handle_lost(frame, ts)
-        lm_ids = jnp.where(res.inlier, lm_ids, INVALID_ID)
-
-        # --- local map tracking -------------------------------------
-        local_ids = tracking.local_landmark_ids(self.m, jnp.int32(self.ref_kf), cfg)
-        lm_ids, n2 = tracking.track_local_map_match(
-            self.m, local_ids, frame, lm_ids, res.R, res.t, cfg
-        )
-        X, uv, inv_s2, valid = tracking.gather_track_problem(self.m, frame, lm_ids, cfg)
-        res = pose_optimization(
-            res.R, res.t, X, uv, inv_s2, valid,
-            cfg.fx, cfg.fy, cfg.cx, cfg.cy,
-            chi2_th=cfg.chi2_stereo if use_st else cfg.chi2_mono,
-            rounds=2, iters=cfg.pose_opt_iters,
-            u_right=frame.u_right, bf=cfg.bf, use_stereo=use_st,
-        )
-        n_tracked = int(res.n_inliers)
+        n_tracked = int(n_tracked_d)   # the single per-frame host sync
         if n_tracked < cfg.min_inliers_local:
             return self._handle_lost(frame, ts)
-        lm_ids, _ = tracking.filter_outlier_assoc(
-            res.R, res.t, self.m, frame, lm_ids, cfg, chi2_th=cfg.chi2_mono
-        )
+        res = tracking.TrackOut(R_cur_d, t_cur_d)
 
         R_cur = np.asarray(res.R)
         t_cur = np.asarray(res.t)
@@ -540,36 +500,12 @@ class Engine:
     def _create_keyframe(self, frame, ts, R, t, lm_ids, n_tracked):
         cfg = self.cfg
         slot = self.kf_count
-        self.m = mapping.insert_keyframe(
+        self.m = mapping.process_new_keyframe(
             self.m, frame, R, t, lm_ids,
             jnp.int32(self.frame_id), jnp.float32(ts),
             jnp.int32(slot), jnp.int32(self.ref_kf), cfg,
+            spawn_depth=cfg.sensor != Sensor.MONOCULAR,
         )
-        if cfg.sensor != Sensor.MONOCULAR:
-            # close points come straight from depth (reference:
-            # CreateNewKeyFrame's close-point spawning)
-            self.m = mapping.spawn_depth_landmarks(self.m, jnp.int32(slot), cfg)
-        # triangulate against several covisible neighbors (reference: 10|20)
-        neighbors = mapping.best_covisible(self.m, slot, 4)
-        if self.ref_kf not in neighbors:
-            neighbors = [self.ref_kf] + neighbors[:3]
-        for nb in neighbors:
-            if nb != slot:
-                self.m = mapping.triangulate_between(
-                    self.m, jnp.int32(slot), jnp.int32(nb), cfg
-                )
-        # fuse duplicates with the neighbors, both directions
-        for nb in neighbors:
-            if nb != slot:
-                self.m = mapping.fuse_landmarks_into_kf(
-                    self.m, jnp.int32(slot), jnp.int32(nb), cfg
-                )
-                self.m = mapping.fuse_landmarks_into_kf(
-                    self.m, jnp.int32(nb), jnp.int32(slot), cfg
-                )
-        self.m = mapping.update_covis_for_kf(self.m, jnp.int32(slot))
-        self.m = mapping.refresh_landmark_descriptors(self.m, jnp.int32(slot), cfg)
-        self.m = mapping.cull_landmarks(self.m, jnp.int32(slot), cfg)
         if slot >= 2:
             from .optim.local_ba import local_bundle_adjustment
 

@@ -16,9 +16,15 @@ Pose optimization itself lives in ``optim.pose_only``.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+class TrackOut(NamedTuple):
+    R: jax.Array
+    t: jax.Array
 
 from . import geometry as geo
 from . import matching
@@ -186,6 +192,124 @@ def track_local_map_match(
     new_lm = jnp.where(new_lm >= L, INVALID_ID, new_lm)
     merged = jnp.where(lm_of_feat >= 0, lm_of_feat, new_lm)
     return merged, jnp.sum((merged >= 0).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_stereo"))
+def fused_track_step(
+    m: MapState,
+    last_lm_ids: jax.Array,
+    frame: FrameArrays,
+    R_pred: jax.Array,
+    t_pred: jax.Array,
+    R_last: jax.Array,
+    t_last: jax.Array,
+    ref_kf: jax.Array,
+    cfg: EngineConfig,
+    use_stereo: bool = False,
+):
+    """The whole per-frame tracking pipeline in ONE device dispatch.
+
+    Motion-model search (normal + wide radius), reference-KF fallback, pose
+    optimization, local-map search, second pose optimization, and outlier
+    filtering — the reference's Track() data path minus the host decisions.
+    All three match strategies are computed unconditionally and selected on
+    device (they are cheap VPU matrix work; a host round-trip is not).
+
+    Returns (R, t, lm_ids, n_tracked, n_motion) — the two scalars are the
+    only values the host needs to pull per frame.
+    """
+    from .optim import pose_optimization
+
+    chi2 = cfg.chi2_stereo if use_stereo else cfg.chi2_mono
+
+    lm_a, n_a = _motion_match(
+        m, last_lm_ids, frame, R_pred, t_pred, cfg, cfg.motion_search_radius
+    )
+    lm_b, n_b = _motion_match(
+        m, last_lm_ids, frame, R_pred, t_pred, cfg, 2.0 * cfg.motion_search_radius
+    )
+    lm_c, n_c = _ref_kf_match(m, ref_kf, frame, cfg)
+
+    use_a = n_a >= 20
+    use_b = ~use_a & (n_b >= 20)
+    lm_ids = jnp.where(use_a, lm_a, jnp.where(use_b, lm_b, lm_c))
+    n_mm = jnp.where(use_a, n_a, jnp.where(use_b, n_b, n_c))
+    # the reference-KF fallback restarts from the last pose, not the prediction
+    R0 = jnp.where(use_a | use_b, R_pred, R_last)
+    t0 = jnp.where(use_a | use_b, t_pred, t_last)
+
+    X, uv, inv_s2, valid = gather_track_problem(m, frame, lm_ids, cfg)
+    res = pose_optimization(
+        R0, t0, X, uv, inv_s2, valid,
+        cfg.fx, cfg.fy, cfg.cx, cfg.cy, chi2_th=chi2,
+        rounds=cfg.pose_opt_rounds, iters=cfg.pose_opt_iters,
+        u_right=frame.u_right, bf=cfg.bf, use_stereo=use_stereo,
+    )
+    lm_ids = jnp.where(res.inlier, lm_ids, INVALID_ID)
+
+    local_ids = local_landmark_ids(m, ref_kf, cfg)
+    lm_ids, _ = track_local_map_match(
+        m, local_ids, frame, lm_ids, res.R, res.t, cfg
+    )
+    X, uv, inv_s2, valid = gather_track_problem(m, frame, lm_ids, cfg)
+    res2 = pose_optimization(
+        res.R, res.t, X, uv, inv_s2, valid,
+        cfg.fx, cfg.fy, cfg.cx, cfg.cy, chi2_th=chi2,
+        rounds=2, iters=cfg.pose_opt_iters,
+        u_right=frame.u_right, bf=cfg.bf, use_stereo=use_stereo,
+    )
+    lm_ids, n_tracked = filter_outlier_assoc(
+        res2.R, res2.t, m, frame, lm_ids, cfg, chi2_th=chi2
+    )
+    return res2.R, res2.t, lm_ids, n_tracked, n_mm
+
+
+def _motion_match(m, last_lm_ids, frame, R_pred, t_pred, cfg, radius):
+    """Non-jitted inner version of track_motion_model (inlined in the fused
+    step; radius is a traced value here, so the gate uses it dynamically)."""
+    F = frame.uv.shape[0]
+    L = m.lms.xyz.shape[0]
+    ids = jnp.where(last_lm_ids >= 0, last_lm_ids, L)
+    _, desc, uv_pred, octv, vis = _project_landmarks(m, ids, R_pred, t_pred, cfg)
+    match_ft, _ = matching.match_projected(
+        desc, uv_pred, vis, octv,
+        frame.desc, frame.uv, frame.valid, frame.octave,
+        radius=radius, scale_factor=cfg.scale_factor,
+        max_dist=cfg.th_high, ratio=0.9,
+    )
+    lm_of_feat = jnp.full((F,), INVALID_ID, jnp.int32)
+    src = jnp.where(match_ft >= 0, ids, L)
+    lm_of_feat = lm_of_feat.at[jnp.where(match_ft >= 0, match_ft, F)].set(
+        src.astype(jnp.int32), mode="drop"
+    )
+    lm_of_feat = jnp.where(lm_of_feat >= L, INVALID_ID, lm_of_feat)
+    return lm_of_feat, jnp.sum((lm_of_feat >= 0).astype(jnp.int32))
+
+
+def _ref_kf_match(m, ref_kf, frame, cfg):
+    F = frame.uv.shape[0]
+    L = m.lms.xyz.shape[0]
+    kf_desc = m.kfs.desc[ref_kf]
+    kf_obs = m.kfs.obs_lm[ref_kf]
+    kf_ok = (
+        m.kfs.feat_valid[ref_kf]
+        & (kf_obs >= 0)
+        & m.lms.valid[jnp.clip(kf_obs, 0, L - 1)]
+    )
+    dist = matching.hamming_distance_matrix(kf_desc, frame.desc)
+    match_ft, _ = matching.match_mutual(
+        dist, kf_ok, frame.valid, max_dist=cfg.th_low, ratio=0.75
+    )
+    ok = match_ft >= 0
+    ok = matching.rotation_consistency_mask(
+        m.kfs.angle[ref_kf], frame.angle, match_ft, ok
+    )
+    lm_of_feat = jnp.full((F,), INVALID_ID, jnp.int32)
+    lm_of_feat = lm_of_feat.at[jnp.where(ok, match_ft, F)].set(
+        jnp.where(ok, kf_obs, L).astype(jnp.int32), mode="drop"
+    )
+    lm_of_feat = jnp.where(lm_of_feat >= L, INVALID_ID, lm_of_feat)
+    return lm_of_feat, jnp.sum((lm_of_feat >= 0).astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
