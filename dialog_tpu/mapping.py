@@ -342,6 +342,67 @@ def best_covisible(m: MapState, slot: int, n: int) -> list[int]:
     return [int(k) for k in order[:n] if row[k] > 0]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cull_keyframes(m: MapState, cur_kf: jax.Array, cfg: EngineConfig) -> MapState:
+    """Remove redundant keyframes (reference: LocalMapping::KeyFrameCulling).
+
+    A keyframe (other than the gauge anchors and the current one) is culled
+    when >= 90% of its landmarks are observed by >= 3 other keyframes at the
+    same or finer scale. Scale comparison uses the per-observation octave
+    table; the per-landmark "seen elsewhere at <= my octave" counts come from
+    one masked scatter over the whole observation table.
+    """
+    kfs, lms = m.kfs, m.lms
+    K, F = kfs.obs_lm.shape
+    L = lms.xyz.shape[0]
+
+    obs_ok = kfs.valid[:, None] & kfs.feat_valid & (kfs.obs_lm >= 0)
+    lm_of = jnp.clip(kfs.obs_lm, 0, L - 1)
+    obs_ok = obs_ok & lms.valid[lm_of]
+    octv = kfs.octave
+
+    # per landmark: the minimum octave over observations per keyframe, via a
+    # (L, n_oct) histogram of observing keyframes per octave level
+    n_oct = cfg.n_levels
+    flat_lm = jnp.where(obs_ok, lm_of, L).reshape(-1)
+    flat_oc = jnp.clip(octv, 0, n_oct - 1).reshape(-1)
+    # count of observations per (landmark, octave)
+    counts = jnp.zeros(((L + 1), n_oct), jnp.int32).at[flat_lm, flat_oc].add(1)[:L]
+    # cum_at_or_below[l, o] = #obs of landmark l at octave <= o
+    cum = jnp.cumsum(counts, axis=1)
+
+    # for each observation (k, f): is this landmark seen by >= 3 OTHER KFs at
+    # octave <= this one? approximate "other" by subtracting self (1).
+    own_cum = cum[lm_of, jnp.clip(octv, 0, n_oct - 1)]      # [K, F]
+    redundant_obs = obs_ok & ((own_cum - 1) >= 3)
+
+    n_obs_kf = jnp.sum(obs_ok.astype(jnp.int32), axis=1)
+    n_red_kf = jnp.sum(redundant_obs.astype(jnp.int32), axis=1)
+    frac = n_red_kf.astype(jnp.float32) / jnp.maximum(n_obs_kf, 1).astype(jnp.float32)
+    protected = (jnp.arange(K) <= 1) | (jnp.arange(K) == cur_kf) | (n_obs_kf < 10)
+    cull = kfs.valid & ~protected & (frac > 0.9)
+    # cull at most one keyframe per call (the most redundant), so the
+    # spanning tree repair stays simple: children re-parent to its parent
+    best = jnp.argmax(jnp.where(cull, frac, -1.0))
+    do = cull[best]
+
+    parent_of_best = kfs.parent[best]
+    new_parent = jnp.where(
+        do & (kfs.parent == best), parent_of_best, kfs.parent
+    )
+    valid = kfs.valid.at[best].set(jnp.where(do, False, kfs.valid[best]))
+    # clear its observations
+    clear = do & (jnp.arange(K) == best)[:, None]
+    obs_lm = jnp.where(clear, INVALID_ID, kfs.obs_lm)
+    covis = m.covis
+    covis = jnp.where(do, covis.at[best, :].set(0).at[:, best].set(0), covis)
+    m = m._replace(
+        kfs=kfs._replace(valid=valid, parent=new_parent, obs_lm=obs_lm),
+        covis=covis,
+    )
+    return recount_lm_obs(m)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "spawn_depth", "n_neighbors"))
 def process_new_keyframe(
     m: MapState,
@@ -400,6 +461,7 @@ def process_new_keyframe(
     m = update_covis_for_kf(m, slot)
     m = refresh_landmark_descriptors(m, slot, cfg)
     m = cull_landmarks(m, slot, cfg)
+    m = cull_keyframes(m, slot, cfg)
     return m
 
 

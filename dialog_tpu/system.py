@@ -99,6 +99,7 @@ class Engine:
 
         self._loop = LoopCloser(cfg)
         self.loop_closing_enabled = True
+        self.localization_only = False
 
     # ------------------------------------------------------------------
     # public API
@@ -180,6 +181,74 @@ class Engine:
 
     def save_checkpoint(self, path: str) -> None:
         save_map(self.m, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Resume from a saved map: host counters rebuild from array masks
+        (reference has no map save/load at all — SURVEY.md §5)."""
+        from .containers import load_map
+
+        self.m = load_map(self.cfg, path)
+        valid = np.asarray(self.m.kfs.valid)
+        self.kf_count = int(np.asarray(self.m.num_kfs))
+        alive = np.nonzero(valid)[0]
+        if len(alive):
+            last = int(alive[-1])
+            self.ref_kf = last
+            self._last_R = np.asarray(self.m.kfs.R[last])
+            self._last_t = np.asarray(self.m.kfs.t[last])
+            self._last_lm_ids = self.m.kfs.obs_lm[last]
+            self.state = LOST  # relocalize against the loaded map
+            self._vocab = None  # retrain lazily from the loaded descriptors
+            self._bow_db = None
+        else:
+            self.state = NOT_INITIALIZED
+
+    def set_localization_mode(self, on: bool) -> None:
+        """Freeze the map; track only (reference: ActivateLocalizationMode)."""
+        self.localization_only = on
+
+    def reset(self) -> None:
+        """Clear the map and start over (reference: System::Reset)."""
+        self.m = empty_map(self.cfg)
+        self.state = NOT_INITIALIZED
+        self.kf_count = 0
+        self.ref_kf = 0
+        self.last_kf_frame_id = -(10**9)
+        self.last_kf_tracked = 0
+        self._init_frame = None
+        self._last_frame = None
+        self._last_lm_ids = None
+        self._last_R = np.eye(3, dtype=np.float32)
+        self._last_t = np.zeros(3, dtype=np.float32)
+        self._vel = None
+        self._vocab = None
+        self._bow_db = None
+        from .loopclosing import LoopCloser
+
+        self._loop = LoopCloser(self.cfg)
+
+    def export_map_ply(self, path: str) -> None:
+        """Dump landmarks + keyframe centers as a PLY point cloud (replaces
+        the reference's live Pangolin viewer with offline export)."""
+        lv = np.asarray(self.m.lms.valid)
+        pts = np.asarray(self.m.lms.xyz)[lv]
+        kv = np.asarray(self.m.kfs.valid)
+        kR = np.asarray(self.m.kfs.R)[kv]
+        kt = np.asarray(self.m.kfs.t)[kv]
+        cams = np.stack([-R.T @ t for R, t in zip(kR, kt)]) if kv.any() else np.zeros((0, 3))
+        with open(path, "w") as f:
+            n = len(pts) + len(cams)
+            f.write(
+                "ply\nformat ascii 1.0\n"
+                f"element vertex {n}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+                "end_header\n"
+            )
+            for p in pts:
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} 180 180 180\n")
+            for c in cams:
+                f.write(f"{c[0]:.4f} {c[1]:.4f} {c[2]:.4f} 255 40 40\n")
 
     @property
     def positions(self) -> np.ndarray:
@@ -359,18 +428,20 @@ class Engine:
         t_pred = jnp.asarray(t_pred)
 
         use_st = cfg.sensor != Sensor.MONOCULAR and cfg.bf > 0
-        R_cur_d, t_cur_d, lm_ids, n_tracked_d, n_mm_d = tracking.fused_track_step(
+        R_cur_d, t_cur_d, lm_ids, packed = tracking.fused_track_step(
             self.m, self._last_lm_ids, frame, R_pred, t_pred,
             jnp.asarray(self._last_R), jnp.asarray(self._last_t),
             jnp.int32(self.ref_kf), cfg, use_stereo=use_st,
         )
-        n_tracked = int(n_tracked_d)   # the single per-frame host sync
+        p = np.asarray(packed)          # the single per-frame host sync
+        n_tracked = int(p[24])
         if n_tracked < cfg.min_inliers_local:
             return self._handle_lost(frame, ts)
         res = tracking.TrackOut(R_cur_d, t_cur_d)
+        self._packed = p
 
-        R_cur = np.asarray(res.R)
-        t_cur = np.asarray(res.t)
+        R_cur = p[:9].reshape(3, 3)
+        t_cur = p[9:12]
         # velocity: T_cur o T_last^-1
         self._vel = (
             R_cur @ self._last_R.T,
@@ -385,7 +456,14 @@ class Engine:
             self._create_keyframe(frame, ts, res.R, res.t, lm_ids, n_tracked)
             # the frame's pose may have been BA-refined inside keyframe creation
             R_cur, t_cur = self._last_R, self._last_t
-        return self._record(ts, R_cur, t_cur, n_tracked, ref_kf=self.ref_kf)
+            return self._record(ts, R_cur, t_cur, n_tracked, ref_kf=self.ref_kf)
+        # non-KF frame: the relative pose came back in the packed transfer
+        rec = FrameRecord(
+            frame_id=self.frame_id, timestamp=ts, R=R_cur, t=t_cur,
+            state=self.state, n_tracked=n_tracked, ref_kf=self.ref_kf,
+            R_rel=p[12:21].reshape(3, 3), t_rel=p[21:24],
+        )
+        return rec
 
     def _handle_lost(self, frame: FrameArrays, ts: float) -> FrameRecord:
         self.state = LOST
@@ -484,6 +562,8 @@ class Engine:
     # --- keyframe policy (reference: NeedNewKeyFrame) --------------------
 
     def _need_keyframe(self, n_tracked: int) -> bool:
+        if self.localization_only:
+            return False
         if self.kf_count >= self.cfg.max_keyframes:
             return False
         since = self.frame_id - self.last_kf_frame_id

@@ -261,7 +261,22 @@ def fused_track_step(
     lm_ids, n_tracked = filter_outlier_assoc(
         res2.R, res2.t, m, frame, lm_ids, cfg, chi2_th=chi2
     )
-    return res2.R, res2.t, lm_ids, n_tracked, n_mm
+    # pack everything the host needs into ONE array -> one D2H transfer
+    # (the tunnel's per-transfer latency dominates frame time): R (9),
+    # t (3), R_rel to ref KF (9), t_rel (3), n_tracked, n_mm.
+    R_ref, t_ref = m.kfs.R[ref_kf], m.kfs.t[ref_kf]
+    R_rel = res2.R @ R_ref.T
+    t_rel = res2.t - R_rel @ t_ref
+    packed = jnp.concatenate(
+        [
+            res2.R.reshape(9),
+            res2.t,
+            R_rel.reshape(9),
+            t_rel,
+            jnp.stack([n_tracked.astype(jnp.float32), n_mm.astype(jnp.float32)]),
+        ]
+    )
+    return res2.R, res2.t, lm_ids, packed
 
 
 def _motion_match(m, last_lm_ids, frame, R_pred, t_pred, cfg, radius):

@@ -112,6 +112,64 @@ def bow_l1_scores(q: jax.Array, db: jax.Array) -> jax.Array:
     return 1.0 - 0.5 * jnp.sum(jnp.abs(q[None, :] - db), axis=-1)
 
 
+def load_dbow2_text(path: str, max_words: int | None = None) -> Vocabulary:
+    """Convert a DBoW2 text vocabulary (ORBvoc.txt format) to a flat codebook.
+
+    Uses the native C++ parser when available (the reference's own load of
+    this file takes ~10 s); Python fallback otherwise. Leaf-node descriptors
+    become the centroid table; leaf weights become idf. ``max_words`` keeps
+    the highest-weight leaves (the flat Hamming argmin is O(W) per
+    descriptor — the full 1M-leaf table is fine on TPU, but CPU tests want
+    a small cut).
+    """
+    from . import native
+
+    with open(path, "rb") as f:
+        buf = f.read()
+
+    lib = native.load_voc_parser()
+    if lib is not None:
+        import ctypes
+
+        hdr = lib._VocHeader()
+        rc = lib.voc_scan(buf, len(buf), ctypes.byref(hdr))
+        if rc != 0:
+            raise ValueError(f"not a DBoW2 text vocabulary (rc={rc})")
+        n = hdr.n_nodes
+        parent = np.empty(n, np.int32)
+        is_leaf = np.empty(n, np.uint8)
+        desc = np.empty((n, 32), np.uint8)
+        weight = np.empty(n, np.float64)
+        rc = lib.voc_parse(
+            buf, len(buf), n,
+            parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            is_leaf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            desc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            weight.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if rc != 0:
+            raise ValueError("vocabulary parse failed")
+    else:  # pure-Python fallback
+        vals = buf.split()
+        n = (len(vals) - 4) // 35
+        rows = np.array(vals[4 : 4 + n * 35], dtype=object).reshape(n, 35)
+        parent = rows[:, 0].astype(np.int32)
+        is_leaf = rows[:, 1].astype(np.uint8)
+        desc = rows[:, 2:34].astype(np.uint8)
+        weight = rows[:, 34].astype(np.float64)
+
+    leaves = is_leaf > 0
+    d = desc[leaves]
+    w = weight[leaves].astype(np.float32)
+    if max_words is not None and len(d) > max_words:
+        keep = np.argsort(-w)[:max_words]
+        d, w = d[keep], w[keep]
+    words = jnp.asarray(
+        d.reshape(len(d), 8, 4).view(np.uint32).reshape(len(d), 8)
+    )
+    return Vocabulary(words=words, idf=jnp.asarray(np.maximum(w, 1e-6)))
+
+
 def compute_idf(vocab: Vocabulary, word_ids: jax.Array, doc_ids: jax.Array, n_docs: int) -> Vocabulary:
     """Refresh idf from a corpus: idf_w = log(n_docs / (1 + df_w))."""
     W = vocab.words.shape[0]
