@@ -42,14 +42,20 @@ def main() -> None:
         for i in range(n_frames)
     ]
 
+    from dialog_tpu.frontend import extract_features
+
     eng = Engine(cfg)
     # warmup: compile every step variant on the first frames
     for i in range(8):
         eng.track_image(images[i], float(i) / 30.0)
 
+    # timed: pipelined tracking (resolve one frame behind — the engine's
+    # throughput mode; the reference's mapping thread is async likewise)
     t0 = time.perf_counter()
     for i in range(8, n_frames):
-        eng.track_image(images[i], float(i) / 30.0)
+        frame = extract_features(images[i], cfg)
+        eng.track_features_async(frame, float(i) / 30.0)
+    eng.flush()
     jax.block_until_ready(eng.m.kfs.R)
     elapsed = time.perf_counter() - t0
     fps = (n_frames - 8) / elapsed

@@ -2,15 +2,17 @@
 
 The engine's highest-frequency op (SURVEY.md hot-loop rank #2): 256-bit
 descriptor matching. The jnp path materializes an [N, M] distance matrix in
-HBM and reduces it three times (best, second-best, mutual). This kernel
+HBM and reduces it multiple times (best, second-best, mutual). This kernel
 keeps everything in VMEM: for each row block it streams the whole B-side
-descriptor table (M x 8 u32 = 32 KB — trivially VMEM-resident), computes
-XOR+popcount distances on the VPU, applies the spatial-window / validity
-gates inline, and tracks best/second-best per row in registers. The [N, M]
-matrix never exists in HBM.
+descriptor table (M x 8 u32 — tens of KB, trivially VMEM-resident),
+computes XOR+popcount distances on the VPU, applies the spatial-window /
+validity gates inline, and tracks best/second-best per row in registers.
+The [N, M] matrix never exists in HBM.
 
-Outputs (best_idx, best_d, second_d) feed the same mutual/ratio logic as
-``matching.match_mutual`` (mutual check = run the kernel both directions).
+Spatial gating supports both orientations: a per-row radius (the forward
+match) or a per-column radius (the reverse pass of a mutual check, where
+the gate still belongs to the original query side). `mutual_match_fused`
+reproduces `matching.match_mutual` semantics exactly with two kernel runs.
 """
 
 from __future__ import annotations
@@ -30,15 +32,15 @@ CHUNK_M = 512          # B-side columns processed per inner step
 MAX_DIST = 257
 
 
-def _kernel(a_ref, b_ref, uva_ref, uvb_ref, va_ref, vb_ref, r2_ref,
-            idx_ref, best_ref, second_ref):
-    M = b_ref.shape[0]
-    n_chunks = M // CHUNK_M
+def _kernel(band, a_ref, b_ref, uva_ref, uvb_ref, va_ref, vb_ref, r2r_ref,
+            r2c_ref, octa_ref, octb_ref, idx_ref, best_ref, second_ref):
+    n_chunks = b_ref.shape[0]
 
     a = a_ref[...]                       # [BLOCK_N, 8] u32
     uva = uva_ref[...]                   # [BLOCK_N, 2]
-    va = va_ref[...]                     # [BLOCK_N] bool (as int32)
-    r2 = r2_ref[...]                     # [BLOCK_N] squared radius (<0: off)
+    va = va_ref[...]                     # [BLOCK_N] int32 validity
+    r2r = r2r_ref[...]                   # [BLOCK_N] row radius^2 (<0: off)
+    octa = octa_ref[...]                 # [BLOCK_N] i32 octave
 
     best = jnp.full((BLOCK_N,), MAX_DIST, jnp.int32)
     second = jnp.full((BLOCK_N,), MAX_DIST, jnp.int32)
@@ -46,43 +48,50 @@ def _kernel(a_ref, b_ref, uva_ref, uvb_ref, va_ref, vb_ref, r2_ref,
 
     def chunk(c, carry):
         best, second, bidx = carry
-        b = b_ref[pl.ds(c * CHUNK_M, CHUNK_M), :]        # [CHUNK_M, 8]
-        vb = vb_ref[pl.ds(c * CHUNK_M, CHUNK_M)]
-        uvb = uvb_ref[pl.ds(c * CHUNK_M, CHUNK_M), :]
-        # [BLOCK_N, CHUNK_M]: XOR + popcount accumulated over the 8 words
+        # column-side arrays arrive pre-chunked [n_chunks, CHUNK_M, ...]:
+        # a dynamic leading index is supported where 1-D dynamic slices
+        # are not provably aligned for Mosaic
+        b = b_ref[c]
+        vb = vb_ref[c]
+        uvb = uvb_ref[c]
+        r2c = r2c_ref[c]
+        octb = octb_ref[c]
         d = jnp.zeros((BLOCK_N, CHUNK_M), jnp.int32)
         for w in range(8):
             d = d + jax.lax.population_count(
                 a[:, w][:, None] ^ b[:, w][None, :]
             ).astype(jnp.int32)
-        # gates: validity both sides + optional spatial window
         dx = uva[:, 0][:, None] - uvb[:, 0][None, :]
         dy = uva[:, 1][:, None] - uvb[:, 1][None, :]
-        sp_ok = (r2[:, None] < 0.0) | (dx * dx + dy * dy <= r2[:, None])
-        ok = (va[:, None] > 0) & (vb[None, :] > 0) & sp_ok
-        d = jnp.where(ok, d, MAX_DIST)
-        # row-wise best / second-best within the chunk
-        cbest = jnp.min(d, axis=1)
-        carg = jnp.argmin(d, axis=1).astype(jnp.int32) + c * CHUNK_M
-        d2 = jnp.where(
+        d2 = dx * dx + dy * dy
+        # gate priority: row radius, else column radius, else open
+        r2 = jnp.where(
+            r2r[:, None] >= 0.0,
+            r2r[:, None],
+            jnp.broadcast_to(r2c[None, :], d2.shape),
+        )
+        sp_ok = (r2 < 0.0) | (d2 <= r2)
+        oct_ok = (band < 0) | (
+            jnp.abs(octa[:, None] - octb[None, :]) <= band
+        )
+        ok = (va[:, None] > 0) & (vb[None, :] > 0) & sp_ok & oct_ok
+        # Mosaic's argmin lowering is f32-only; distances <= 257 are exact
+        df = jnp.where(ok, d, MAX_DIST).astype(jnp.float32)
+        cbest = jnp.min(df, axis=1).astype(jnp.int32)
+        carg = jnp.argmin(df, axis=1).astype(jnp.int32)
+        d2nd = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, CHUNK_M), 1)
-            == (carg - c * CHUNK_M)[:, None],
-            MAX_DIST,
-            d,
+            == carg[:, None],
+            float(MAX_DIST),
+            df,
         )
-        csecond = jnp.min(d2, axis=1)
-        # merge with running best/second
-        new_best = jnp.minimum(best, cbest)
-        new_bidx = jnp.where(cbest < best, carg, bidx)
-        new_second = jnp.minimum(
-            jnp.maximum(jnp.minimum(best, cbest), jnp.minimum(second, csecond)),
-            jnp.minimum(jnp.maximum(best, cbest), MAX_DIST),
-        )
-        # simpler correct merge: the two smallest of {best, second, cbest, csecond}
+        csecond = jnp.min(d2nd, axis=1).astype(jnp.int32)
+        carg = carg + c * CHUNK_M
         lo = jnp.minimum(best, cbest)
         hi = jnp.maximum(best, cbest)
         new_second = jnp.minimum(jnp.minimum(second, csecond), hi)
-        return new_best, new_second, new_bidx
+        new_bidx = jnp.where(cbest < best, carg, bidx)
+        return lo, new_second, new_bidx
 
     best, second, bidx = jax.lax.fori_loop(
         0, n_chunks, chunk, (best, second, bidx)
@@ -92,13 +101,18 @@ def _kernel(a_ref, b_ref, uva_ref, uvb_ref, va_ref, vb_ref, r2_ref,
     second_ref[...] = second
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _reference(desc_a, desc_b, valid_a, valid_b, uv_a, uv_b, r2):
+def _reference(desc_a, desc_b, valid_a, valid_b, uv_a, uv_b, r2_rows, r2_cols,
+               oct_a, oct_b, band):
     x = jax.lax.population_count(desc_a[:, None, :] ^ desc_b[None, :, :])
     d = jnp.sum(x, axis=-1).astype(jnp.int32)
     d2s = jnp.sum((uv_a[:, None, :] - uv_b[None, :, :]) ** 2, axis=-1)
-    sp_ok = (r2[:, None] < 0) | (d2s <= r2[:, None])
-    ok = valid_a[:, None] & valid_b[None, :] & sp_ok
+    r2 = jnp.where(
+        r2_rows[:, None] >= 0, r2_rows[:, None],
+        jnp.broadcast_to(r2_cols[None, :], d2s.shape),
+    )
+    sp_ok = (r2 < 0) | (d2s <= r2)
+    oct_ok = (band < 0) | (jnp.abs(oct_a[:, None] - oct_b[None, :]) <= band)
+    ok = valid_a[:, None] & valid_b[None, :] & sp_ok & oct_ok
     d = jnp.where(ok, d, MAX_DIST)
     best = jnp.min(d, axis=1)
     bidx = jnp.argmin(d, axis=1).astype(jnp.int32)
@@ -113,9 +127,13 @@ def hamming_best2(
     desc_b: jax.Array,    # u32[M, 8]
     valid_a: jax.Array,   # bool[N]
     valid_b: jax.Array,   # bool[M]
-    uv_a: jax.Array | None = None,   # f32[N, 2] (optional spatial gate)
-    uv_b: jax.Array | None = None,   # f32[M, 2]
-    radius2: jax.Array | None = None,  # f32[N] squared radius; <0 disables
+    uv_a: jax.Array | None = None,       # f32[N, 2]
+    uv_b: jax.Array | None = None,       # f32[M, 2]
+    radius2: jax.Array | None = None,    # f32[N] row-side squared radius
+    radius2_cols: jax.Array | None = None,  # f32[M] column-side squared radius
+    oct_a: jax.Array | None = None,      # i32[N] octaves (band gating)
+    oct_b: jax.Array | None = None,      # i32[M]
+    octave_band: int = -1,               # <0 disables the octave gate
 ):
     """Best + second-best gated Hamming match per row of A.
 
@@ -125,12 +143,19 @@ def hamming_best2(
     if uv_a is None:
         uv_a = jnp.zeros((N, 2), jnp.float32)
         uv_b = jnp.zeros((M, 2), jnp.float32)
-        radius2 = jnp.full((N,), -1.0, jnp.float32)
     if radius2 is None:
         radius2 = jnp.full((N,), -1.0, jnp.float32)
+    if radius2_cols is None:
+        radius2_cols = jnp.full((M,), -1.0, jnp.float32)
+    if oct_a is None:
+        oct_a = jnp.zeros((N,), jnp.int32)
+        oct_b = jnp.zeros((M,), jnp.int32)
 
     if not on_tpu():
-        return _reference(desc_a, desc_b, valid_a, valid_b, uv_a, uv_b, radius2)
+        return _reference(
+            desc_a, desc_b, valid_a, valid_b, uv_a, uv_b, radius2, radius2_cols,
+            oct_a, oct_b, octave_band,
+        )
 
     Np = round_up(N, BLOCK_N)
     Mp = round_up(M, CHUNK_M)
@@ -139,26 +164,21 @@ def hamming_best2(
         return jnp.pad(x, [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1),
                        constant_values=fill)
 
-    a = pad(desc_a, Np)
-    b = pad(desc_b, Mp)
-    va = pad(valid_a.astype(jnp.int32), Np)
-    vb = pad(valid_b.astype(jnp.int32), Mp)
-    uva = pad(uv_a, Np)
-    uvb = pad(uv_b, Mp)
-    r2 = pad(radius2, Np)
-
-    grid = (Np // BLOCK_N,)
+    nch = Mp // CHUNK_M
     idx, best, second = pl.pallas_call(
-        _kernel,
-        grid=grid,
+        functools.partial(_kernel, octave_band),
+        grid=(Np // BLOCK_N,),
         in_specs=[
             pl.BlockSpec((BLOCK_N, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, CHUNK_M, 8), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_N, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, CHUNK_M, 2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_N,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, CHUNK_M), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_N,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, CHUNK_M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_N,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, CHUNK_M), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((BLOCK_N,), lambda i: (i,), memory_space=pltpu.VMEM),
@@ -170,6 +190,47 @@ def hamming_best2(
             jax.ShapeDtypeStruct((Np,), jnp.int32),
             jax.ShapeDtypeStruct((Np,), jnp.int32),
         ],
-    )(a, b, uva, uvb, va, vb, r2)
+    )(
+        pad(desc_a, Np), pad(desc_b, Mp).reshape(nch, CHUNK_M, 8),
+        pad(uv_a, Np), pad(uv_b, Mp).reshape(nch, CHUNK_M, 2),
+        pad(valid_a.astype(jnp.int32), Np),
+        pad(valid_b.astype(jnp.int32), Mp).reshape(nch, CHUNK_M),
+        pad(radius2, Np, fill=-1.0),
+        pad(radius2_cols, Mp, fill=-1.0).reshape(nch, CHUNK_M),
+        pad(oct_a, Np), pad(oct_b, Mp).reshape(nch, CHUNK_M),
+    )
     idx = jnp.where(best >= MAX_DIST, -1, idx)
     return idx[:N], best[:N], second[:N]
+
+
+def mutual_match_fused(
+    desc_a, desc_b, valid_a, valid_b,
+    uv_a=None, uv_b=None, radius2=None,
+    oct_a=None, oct_b=None, octave_band: int = -1,
+    max_dist: int = 50, ratio: float = 1.0,
+):
+    """`matching.match_mutual` semantics without the HBM distance matrix.
+
+    Forward pass gates by the A-side radius; the reverse pass applies the
+    same per-A gate from the column side, so mutuality is evaluated on the
+    identical gated matrix. Returns (match_b i32[N], best_d i32[N]).
+    """
+    fwd_idx, best_d, second_d = hamming_best2(
+        desc_a, desc_b, valid_a, valid_b, uv_a, uv_b, radius2,
+        oct_a=oct_a, oct_b=oct_b, octave_band=octave_band,
+    )
+    rev_idx, _, _ = hamming_best2(
+        desc_b, desc_a, valid_b, valid_a, uv_b, uv_a,
+        radius2=None, radius2_cols=radius2,
+        oct_a=oct_b, oct_b=oct_a, octave_band=octave_band,
+    )
+    N = desc_a.shape[0]
+    safe = jnp.clip(fwd_idx, 0, desc_b.shape[0] - 1)
+    mutual = rev_idx[safe] == jnp.arange(N)
+    ok = (
+        (fwd_idx >= 0)
+        & (best_d <= max_dist)
+        & (best_d.astype(jnp.float32) < ratio * second_d.astype(jnp.float32))
+        & mutual
+    )
+    return jnp.where(ok, fwd_idx, -1), best_d

@@ -1,0 +1,63 @@
+"""On-device kernel parity check: Pallas vs jnp reference on the live backend.
+
+Run on TPU (`python -m dialog_tpu.kernels.selfcheck`) to verify the Pallas
+paths bit-match their reference implementations on real hardware — the CPU
+test suite can only exercise the reference paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def check_hamming(n=700, m=900, seed=0) -> dict:
+    from .hamming import hamming_best2, _reference
+
+    rng = np.random.default_rng(seed)
+    a = jnp.asarray(rng.integers(0, 2**32, (n, 8), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, (m, 8), dtype=np.uint32))
+    va = jnp.asarray(rng.random(n) > 0.1)
+    vb = jnp.asarray(rng.random(m) > 0.1)
+    uva = jnp.asarray(rng.uniform(0, 640, (n, 2)).astype(np.float32))
+    uvb = jnp.asarray(rng.uniform(0, 640, (m, 2)).astype(np.float32))
+    r2 = jnp.asarray((rng.uniform(20, 200, n) ** 2).astype(np.float32))
+    oa = jnp.asarray(rng.integers(0, 8, n).astype(np.int32))
+    ob = jnp.asarray(rng.integers(0, 8, m).astype(np.int32))
+
+    results = {}
+    for name, kw in [
+        ("plain", {}),
+        ("spatial", dict(uv_a=uva, uv_b=uvb, radius2=r2)),
+        ("spatial+oct", dict(uv_a=uva, uv_b=uvb, radius2=r2, oct_a=oa, oct_b=ob, octave_band=1)),
+        ("col-radius", dict(uv_a=uva, uv_b=uvb, radius2_cols=jnp.asarray((rng.uniform(20, 200, m) ** 2).astype(np.float32)))),
+    ]:
+        got = hamming_best2(a, b, va, vb, **kw)
+        want = _reference(
+            a, b, va, vb,
+            kw.get("uv_a", jnp.zeros((n, 2))), kw.get("uv_b", jnp.zeros((m, 2))),
+            kw.get("radius2", jnp.full((n,), -1.0)),
+            kw.get("radius2_cols", jnp.full((m,), -1.0)),
+            kw.get("oct_a", jnp.zeros((n,), jnp.int32)),
+            kw.get("oct_b", jnp.zeros((m,), jnp.int32)),
+            kw.get("octave_band", -1),
+        )
+        same = all(
+            bool(jnp.array_equal(g, w)) for g, w in zip(got, want)
+        )
+        results[name] = same
+    return results
+
+
+def main() -> None:
+    print("backend:", jax.default_backend())
+    res = check_hamming()
+    for k, v in res.items():
+        print(f"hamming[{k}]: {'OK' if v else 'MISMATCH'}")
+    assert all(res.values()), res
+
+
+if __name__ == "__main__":
+    main()

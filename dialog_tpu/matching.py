@@ -139,8 +139,20 @@ def match_projected(
 
     Returns (match_ft i32[L] (-1 = none), best_dist i32[L]).
     """
-    dist = hamming_distance_matrix(lm_desc, ft_desc)
+    from .kernels.common import on_tpu
+
     r = radius * scale_factor ** lm_octave.astype(jnp.float32)
+    if on_tpu():
+        # fused Pallas path: gates applied in VMEM, no [L, F] matrix in HBM
+        from .kernels.hamming import mutual_match_fused
+
+        return mutual_match_fused(
+            lm_desc, ft_desc, lm_valid, ft_valid,
+            uv_a=lm_uv, uv_b=ft_uv, radius2=r * r,
+            oct_a=lm_octave, oct_b=ft_octave, octave_band=octave_band,
+            max_dist=max_dist, ratio=ratio,
+        )
+    dist = hamming_distance_matrix(lm_desc, ft_desc)
     d2 = jnp.sum((lm_uv[:, None, :] - ft_uv[None, :, :]) ** 2, axis=-1)
     near = d2 <= (r * r)[:, None]
     oct_ok = jnp.abs(ft_octave[None, :] - lm_octave[:, None]) <= octave_band

@@ -100,6 +100,12 @@ class Engine:
         self._loop = LoopCloser(cfg)
         self.loop_closing_enabled = True
         self.localization_only = False
+        # pipelined-tracking state (track_features_async); depth = how many
+        # frames stay in flight before the host reads a result (larger hides
+        # the tunnel completion latency; state decisions lag by this much)
+        self._pending: list = []
+        self._dev_state = None
+        self.pipeline_depth = 3
 
     # ------------------------------------------------------------------
     # public API
@@ -140,6 +146,124 @@ class Engine:
             rec = self._track(frame, timestamp)
         self.trajectory.append(rec)
         self.frame_id += 1
+        return rec
+
+    # --- pipelined tracking (throughput mode) --------------------------
+
+    def track_features_async(self, frame: FrameArrays, timestamp: float):
+        """Pipelined entry: launch this frame's device step and resolve the
+        PREVIOUS frame's result (which has finished by now).
+
+        The TPU-tunnel completion latency (~27 ms) only bites when the host
+        blocks on a fresh result; resolving one frame behind makes every
+        read hit an already-finished value (~0.01 ms). Mapping consequently
+        lags tracking by one frame — exactly the reference's asynchronous
+        LocalMapping thread semantics. Returns the previous frame's
+        FrameRecord (None while the pipeline fills or during init).
+        """
+        if self.state != OK or self._last_lm_ids is None:
+            self.flush()
+            self.track_features(frame, timestamp)
+            return self.trajectory[-1]
+        cfg = self.cfg
+        use_st = cfg.sensor != Sensor.MONOCULAR and cfg.bf > 0
+        dev = self._dev_state
+        if dev is None:
+            dev = {
+                "R": jnp.asarray(self._last_R),
+                "t": jnp.asarray(self._last_t),
+                "R_prev": jnp.asarray(self._last_R),
+                "t_prev": jnp.asarray(self._last_t),
+                "has_vel": jnp.asarray(False),
+                "lm_ids": self._last_lm_ids,
+            }
+        R_d, t_d, lm_ids_d, packed = tracking.fused_track_step_auto(
+            self.m, dev["lm_ids"], frame,
+            dev["R"], dev["t"], dev["R_prev"], dev["t_prev"], dev["has_vel"],
+            jnp.int32(self.ref_kf), cfg, use_stereo=use_st,
+        )
+        self._dev_state = {
+            "R": R_d, "t": t_d,
+            "R_prev": dev["R"], "t_prev": dev["t"],
+            "has_vel": jnp.asarray(True),
+            "lm_ids": lm_ids_d,
+        }
+        self._pending.append(
+            (frame, timestamp, self.frame_id, self.ref_kf, R_d, t_d, lm_ids_d, packed)
+        )
+        self.frame_id += 1
+        if len(self._pending) > self.pipeline_depth:
+            return self._resolve_oldest()
+        return None
+
+    def flush(self):
+        """Drain the pipeline (call before reading trajectory / evaluating)."""
+        while getattr(self, "_pending", None):
+            self._resolve_oldest()
+        self._dev_state = None
+
+    def _resolve_oldest(self):
+        frame, ts, fid, ref_launch, R_d, t_d, lm_ids_d, packed = self._pending.pop(0)
+        cfg = self.cfg
+        p = np.asarray(packed)
+        n_tracked = int(p[24])
+        if n_tracked < cfg.min_inliers_local:
+            # tracking failed at this frame: drop in-flight work, go LOST
+            dropped = [(e[1], e[2], e[3]) for e in self._pending]
+            self._pending.clear()
+            self._dev_state = None
+            self.state = LOST
+            self._vel = None
+            rec = FrameRecord(
+                frame_id=fid, timestamp=ts, R=self._last_R, t=self._last_t,
+                state=LOST, n_tracked=0, ref_kf=ref_launch,
+            )
+            self.trajectory.append(rec)
+            # in-flight frames were computed against pre-loss state: record
+            # them as LOST rather than silently skipping them
+            for d_ts, d_fid, d_ref in dropped:
+                self.trajectory.append(
+                    FrameRecord(
+                        frame_id=d_fid, timestamp=d_ts, R=self._last_R,
+                        t=self._last_t, state=LOST, n_tracked=0, ref_kf=d_ref,
+                    )
+                )
+            return rec
+        R_cur = p[:9].reshape(3, 3)
+        t_cur = p[9:12]
+        rec = FrameRecord(
+            frame_id=fid, timestamp=ts, R=R_cur, t=t_cur,
+            state=OK, n_tracked=n_tracked, ref_kf=ref_launch,
+            R_rel=p[12:21].reshape(3, 3), t_rel=p[21:24],
+        )
+        self.trajectory.append(rec)
+        self._last_R, self._last_t = R_cur, t_cur
+        self._last_frame = frame
+        self._last_lm_ids = lm_ids_d
+        self.state = OK
+        if self._need_keyframe(n_tracked):
+            slot = self.kf_count
+            self.m = mapping.process_new_keyframe(
+                self.m, frame, R_d, t_d, lm_ids_d,
+                jnp.int32(fid), jnp.float32(ts),
+                jnp.int32(slot), jnp.int32(self.ref_kf), cfg,
+                spawn_depth=cfg.sensor != Sensor.MONOCULAR,
+            )
+            if slot >= 2:
+                from .optim.local_ba import local_bundle_adjustment
+
+                # dispatched asynchronously; later steps consume the refined
+                # map without the host ever blocking on it
+                self.m = local_bundle_adjustment(
+                    self.m, slot, cfg, iters=cfg.local_ba_iters
+                )
+            self.ref_kf = slot
+            self.kf_count += 1
+            self.last_kf_frame_id = fid
+            self.last_kf_tracked = n_tracked
+            self._ensure_vocab()
+            self._update_bow_row(slot)
+            self._detect_and_close_loop(slot)
         return rec
 
     def final_poses(self) -> list[tuple[np.ndarray, np.ndarray]]:

@@ -195,6 +195,33 @@ def track_local_map_match(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_stereo"))
+def fused_track_step_auto(
+    m: MapState,
+    last_lm_ids: jax.Array,
+    frame: FrameArrays,
+    R_last: jax.Array,
+    t_last: jax.Array,
+    R_prev: jax.Array,
+    t_prev: jax.Array,
+    has_vel: jax.Array,
+    ref_kf: jax.Array,
+    cfg: EngineConfig,
+    use_stereo: bool = False,
+):
+    """`fused_track_step` with the constant-velocity prediction computed on
+    device from the two previous poses — lets the host chain frames without
+    ever syncing pose values (the pipelined tracking mode)."""
+    Rv = geo.orthogonalize(R_last @ jnp.swapaxes(R_prev, -1, -2))
+    tv = t_last - Rv @ t_prev
+    R_pred = jnp.where(has_vel, Rv @ R_last, R_last)
+    t_pred = jnp.where(has_vel, Rv @ t_last + tv, t_last)
+    return fused_track_step(
+        m, last_lm_ids, frame, R_pred, t_pred, R_last, t_last, ref_kf, cfg,
+        use_stereo=use_stereo,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_stereo"))
 def fused_track_step(
     m: MapState,
     last_lm_ids: jax.Array,
