@@ -67,6 +67,7 @@ def run_tum(args) -> None:
     eng = Engine(cfg)
     times = []
     it = tum.iter_rgbd(args.seq) if args.rgbd else tum.iter_mono(args.seq)
+    pipelined = getattr(args, "pipelined", False)
     for i, item in enumerate(it):
         if args.frames and i >= args.frames:
             break
@@ -74,10 +75,19 @@ def run_tum(args) -> None:
         if args.rgbd:
             ts, img, depth = item
             eng.track_rgbd(img, depth, ts)
+        elif pipelined:
+            ts, img = item
+            from .frontend import extract_features
+            import jax.numpy as jnp
+
+            eng.track_features_async(
+                eng._undistort(extract_features(jnp.asarray(img), cfg)), ts
+            )
         else:
             ts, img = item
             eng.track_image(img, ts)
         times.append(time.perf_counter() - t0)
+    eng.flush()
     gt = None
     try:
         _, gt = tum.load_groundtruth(args.seq)
@@ -161,6 +171,8 @@ def main(argv=None) -> None:
     t.add_argument("--rgbd", action="store_true")
     t.add_argument("--frames", type=int)
     t.add_argument("--out")
+    t.add_argument("--pipelined", action="store_true",
+                   help="throughput mode: resolve results a few frames behind")
     t.set_defaults(fn=run_tum)
 
     k = sub.add_parser("run-kitti", help="run a KITTI sequence (stereo or mono)")
@@ -169,6 +181,7 @@ def main(argv=None) -> None:
     k.add_argument("--mono", action="store_true")
     k.add_argument("--frames", type=int)
     k.add_argument("--out")
+    k.add_argument("--pipelined", action="store_true")
     k.set_defaults(fn=run_kitti)
 
     s = sub.add_parser("run-synth", help="run a synthetic sequence")

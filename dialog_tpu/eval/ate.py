@@ -44,3 +44,25 @@ def rpe_translation(est: np.ndarray, gt: np.ndarray, delta: int = 1) -> float:
     n = min(len(e), len(g))
     err = np.linalg.norm(e[:n] - g[:n], axis=1)
     return float(np.sqrt((err**2).mean()))
+
+
+def kitti_translation_error(
+    est: np.ndarray, gt: np.ndarray,
+    lengths=(100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0),
+) -> float:
+    """KITTI odometry devkit metric: mean translational error (%) averaged
+    over sub-trajectories of the standard lengths. est/gt: positions [N, 3]
+    in metres (metric scale — stereo/RGB-D)."""
+    n = min(len(est), len(gt))
+    est, gt = est[:n], gt[:n]
+    dist = np.concatenate([[0.0], np.cumsum(np.linalg.norm(np.diff(gt, axis=0), axis=1))])
+    errs = []
+    for L in lengths:
+        for i in range(0, n, 10):
+            j = np.searchsorted(dist, dist[i] + L)
+            if j >= n:
+                break
+            gt_d = gt[j] - gt[i]
+            est_d = est[j] - est[i]
+            errs.append(np.linalg.norm(est_d - gt_d) / max(L, 1e-9))
+    return float(np.mean(errs) * 100.0) if errs else float("nan")
