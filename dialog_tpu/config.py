@@ -92,9 +92,10 @@ class EngineConfig:
     sim3_ransac_iters: int = 128
 
     # --- BA --------------------------------------------------------------
-    pose_opt_rounds: int = 4
-    pose_opt_iters: int = 10
-    local_ba_iters: int = 12
+    pose_opt_rounds: int = 2
+    pose_opt_iters: int = 6
+    local_ba_iters: int = 8
+    kf_tri_neighbors: int = 2     # triangulation/fusion fan-out per keyframe
     global_ba_iters: int = 20
     chi2_mono: float = 5.991
     chi2_stereo: float = 7.815

@@ -37,22 +37,25 @@ def lm_loop(cost_and_system, retract, x0, iters: int, lam0: float = 1e-3):
     """
 
     def body(_, carry):
-        x, lam, cost = carry
-        _, H, g = cost_and_system(x)
+        # carry the system evaluated at the current accepted point, so each
+        # iteration costs ONE evaluation (the trial point's system doubles as
+        # the next iteration's, when accepted)
+        x, lam, cost, H, g = carry
         dx = solve_damped(H, g, lam)
         x_new = retract(x, dx)
-        new_cost, _, _ = cost_and_system(x_new)
+        new_cost, H_new, g_new = cost_and_system(x_new)
         accept = new_cost < cost
         x = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), x_new, x
         )
-        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        lam = jnp.clip(lam, 1e-9, 1e6)
+        H = jnp.where(accept, H_new, H)
+        g = jnp.where(accept, g_new, g)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
         cost = jnp.where(accept, new_cost, cost)
-        return x, lam, cost
+        return x, lam, cost, H, g
 
-    cost0, _, _ = cost_and_system(x0)
-    x, _, cost = jax.lax.fori_loop(
-        0, iters, body, (x0, jnp.float32(lam0), cost0)
+    cost0, H0, g0 = cost_and_system(x0)
+    x, _, cost, _, _ = jax.lax.fori_loop(
+        0, iters, body, (x0, jnp.float32(lam0), cost0, H0, g0)
     )
     return x, cost

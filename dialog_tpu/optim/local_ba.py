@@ -223,43 +223,67 @@ def solve_ba(
         )
         Hll_inv = jnp.linalg.inv(Hll_d)
 
-        # camera diagonal + rhs, scatter over observations
+        # camera-side reductions. Two codepaths with identical math:
+        # * one-hot matmul (MXU): observations scatter into cameras via a
+        #   [P, O, C+1] selection tensor — all reductions become
+        #   contractions, which is what the TPU is fast at (serialized
+        #   scatter-adds were the dominant device cost of a keyframe).
+        #   The Schur pair term uses the Cholesky split
+        #   Hll^-1 = Lh Lh^T:  S_red = Z Z^T with Z = sum_o E (Y Lh).
+        # * scatter fallback for problem sizes where the Z tensor
+        #   ([P, C+1, 6, 3]) would not fit (global BA at full capacity).
+        O = prob.obs_cam.shape[1]
+        P = prob.lm_ids.shape[0]
         Hcc_blk = jnp.einsum("poki,po,pokj->poij", J_c, w, J_c)  # [P,O,6,6]
         g_c_blk = jnp.einsum("poki,po,pok->poi", J_c, w, r)      # [P,O,6]
-        cam_idx = jnp.where(ok, prob.obs_cam, C).reshape(-1)
-        Hcc = (
-            jnp.zeros((C + 1, 6, 6))
-            .at[cam_idx]
-            .add(Hcc_blk.reshape(-1, 6, 6))[:C]
-        )
-        g_c = jnp.zeros((C + 1, 6)).at[cam_idx].add(g_c_blk.reshape(-1, 6))[:C]
-
-        # cross blocks Y = J_c^T w J_l  [P, O, 6, 3]
-        Y = jnp.einsum("poki,po,pokj->poij", J_c, w, J_l)
+        Y = jnp.einsum("poki,po,pokj->poij", J_c, w, J_l)        # [P,O,6,3]
         YHinv = jnp.einsum("poij,pjk->poik", Y, Hll_inv)         # [P,O,6,3]
-
-        # Schur: S = Hcc - sum_l sum_{o1,o2} YHinv_{o1} Y_{o2}^T.
-        # Loop over o1 (small static O) so the pair tensor stays [P, O, 6, 6]
-        # instead of [P, O, O, 6, 6] — the latter is hundreds of MB at
-        # global-BA scale.
-        O = prob.obs_cam.shape[1]
-        cam_c = jnp.clip(prob.obs_cam, 0, C)
-        S_acc = jnp.zeros(((C + 1) * (C + 1), 6, 6))
-        for o1 in range(O):
-            blk = jnp.einsum("pik,pqjk->pqij", YHinv[:, o1], Y)  # [P,O,6,6]
-            pair_ok = ok[:, o1 : o1 + 1] & ok                    # [P,O]
-            pair_idx = jnp.where(
-                pair_ok,
-                cam_c[:, o1 : o1 + 1] * (C + 1) + cam_c,
-                (C + 1) * (C + 1) - 1,
-            )
-            S_acc = S_acc.at[pair_idx.reshape(-1)].add(blk.reshape(-1, 6, 6))
-        S_red = S_acc.reshape(C + 1, C + 1, 6, 6)[:C, :C]
-        # rhs reduction: g~_c = g_c - sum_o YHinv_o g_l
         gt_blk = jnp.einsum("poij,pj->poi", YHinv, g_l)          # [P,O,6]
-        g_red = (
-            jnp.zeros((C + 1, 6)).at[cam_idx].add(gt_blk.reshape(-1, 6))[:C]
-        )
+
+        use_onehot = P * (C + 1) * 18 * 4 <= 192 * 1024 * 1024
+        if use_onehot:
+            cam_c = jnp.clip(prob.obs_cam, 0, C)
+            E = (
+                jax.nn.one_hot(cam_c, C + 1, dtype=jnp.float32)
+                * ok[..., None]
+            )                                                    # [P,O,C+1]
+            Hcc = jnp.einsum("poc,poij->cij", E, Hcc_blk)[:C]
+            g_c = jnp.einsum("poc,poi->ci", E, g_c_blk)[:C]
+            g_red = jnp.einsum("poc,poi->ci", E, gt_blk)[:C]
+            Lh = jnp.linalg.cholesky(Hll_inv)                    # [P,3,3]
+            YL = jnp.einsum("poij,pjk->poik", Y, Lh)             # [P,O,6,3]
+            Z = jnp.einsum("poc,poik->pcik", E, YL)              # [P,C+1,6,3]
+            S_red = jnp.einsum("pcik,pdjk->cidj", Z, Z)
+            S_red = jnp.transpose(S_red, (0, 2, 1, 3))[:C, :C]   # [C,C,6,6]
+        else:
+            cam_idx = jnp.where(ok, prob.obs_cam, C).reshape(-1)
+            Hcc = (
+                jnp.zeros((C + 1, 6, 6))
+                .at[cam_idx]
+                .add(Hcc_blk.reshape(-1, 6, 6))[:C]
+            )
+            g_c = jnp.zeros((C + 1, 6)).at[cam_idx].add(
+                g_c_blk.reshape(-1, 6)
+            )[:C]
+            cam_c = jnp.clip(prob.obs_cam, 0, C)
+            S_acc = jnp.zeros(((C + 1) * (C + 1), 6, 6))
+            for o1 in range(O):
+                blk = jnp.einsum("pik,pqjk->pqij", YHinv[:, o1], Y)
+                pair_ok = ok[:, o1 : o1 + 1] & ok
+                pair_idx = jnp.where(
+                    pair_ok,
+                    cam_c[:, o1 : o1 + 1] * (C + 1) + cam_c,
+                    (C + 1) * (C + 1) - 1,
+                )
+                S_acc = S_acc.at[pair_idx.reshape(-1)].add(
+                    blk.reshape(-1, 6, 6)
+                )
+            S_red = S_acc.reshape(C + 1, C + 1, 6, 6)[:C, :C]
+            g_red = (
+                jnp.zeros((C + 1, 6))
+                .at[cam_idx]
+                .add(gt_blk.reshape(-1, 6))[:C]
+            )
 
         # assemble dense reduced system [6C, 6C]
         dcc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)              # [C, 6]

@@ -248,6 +248,7 @@ class Engine:
                 jnp.int32(fid), jnp.float32(ts),
                 jnp.int32(slot), jnp.int32(self.ref_kf), cfg,
                 spawn_depth=cfg.sensor != Sensor.MONOCULAR,
+                n_neighbors=cfg.kf_tri_neighbors,
             )
             if slot >= 2:
                 from .optim.local_ba import local_bundle_adjustment
@@ -709,6 +710,7 @@ class Engine:
             jnp.int32(self.frame_id), jnp.float32(ts),
             jnp.int32(slot), jnp.int32(self.ref_kf), cfg,
             spawn_depth=cfg.sensor != Sensor.MONOCULAR,
+            n_neighbors=cfg.kf_tri_neighbors,
         )
         if slot >= 2:
             from .optim.local_ba import local_bundle_adjustment
