@@ -240,50 +240,56 @@ def solve_ba(
         YHinv = jnp.einsum("poij,pjk->poik", Y, Hll_inv)         # [P,O,6,3]
         gt_blk = jnp.einsum("poij,pj->poi", YHinv, g_l)          # [P,O,6]
 
-        use_onehot = P * (C + 1) * 18 * 4 <= 192 * 1024 * 1024
-        if use_onehot:
-            cam_c = jnp.clip(prob.obs_cam, 0, C)
-            E = (
-                jax.nn.one_hot(cam_c, C + 1, dtype=jnp.float32)
-                * ok[..., None]
-            )                                                    # [P,O,C+1]
-            Hcc = jnp.einsum("poc,poij->cij", E, Hcc_blk)[:C]
-            g_c = jnp.einsum("poc,poi->ci", E, g_c_blk)[:C]
-            g_red = jnp.einsum("poc,poi->ci", E, gt_blk)[:C]
-            Lh = jnp.linalg.cholesky(Hll_inv)                    # [P,3,3]
-            YL = jnp.einsum("poij,pjk->poik", Y, Lh)             # [P,O,6,3]
-            Z = jnp.einsum("poc,poik->pcik", E, YL)              # [P,C+1,6,3]
-            S_red = jnp.einsum("pcik,pdjk->cidj", Z, Z)
-            S_red = jnp.transpose(S_red, (0, 2, 1, 3))[:C, :C]   # [C,C,6,6]
+        cam_c = jnp.clip(prob.obs_cam, 0, C)
+        Lh = jnp.linalg.cholesky(Hll_inv)                        # [P,3,3]
+        YL = jnp.einsum("poij,pjk->poik", Y, Lh)                 # [P,O,6,3]
+
+        # landmark chunking keeps the [Pc, C+1, 6, 3] Z tensor bounded at
+        # global-BA capacities; pick the largest chunk within budget that
+        # divides P evenly
+        budget = 96 * 1024 * 1024
+        pc_target = max(1, budget // max((C + 1) * 18 * 4, 1))
+        Pc = P
+        while Pc > pc_target and Pc % 2 == 0:
+            Pc //= 2
+        n_ch = P // Pc
+
+        def chunk_terms(args):
+            camc, okc, hccb, gcb, gtb, yl = args
+            E = jax.nn.one_hot(camc, C + 1, dtype=jnp.float32) * okc[..., None]
+            Hcc_c = jnp.einsum("poc,poij->cij", E, hccb)
+            g_c_c = jnp.einsum("poc,poi->ci", E, gcb)
+            g_red_c = jnp.einsum("poc,poi->ci", E, gtb)
+            Zc = jnp.einsum("poc,poik->pcik", E, yl)
+            S_c = jnp.einsum("pcik,pdjk->cidj", Zc, Zc)
+            return Hcc_c, g_c_c, g_red_c, S_c
+
+        if n_ch == 1:
+            Hcc_f, g_c_f, g_red_f, S_f = chunk_terms(
+                (cam_c, ok, Hcc_blk, g_c_blk, gt_blk, YL)
+            )
         else:
-            cam_idx = jnp.where(ok, prob.obs_cam, C).reshape(-1)
-            Hcc = (
-                jnp.zeros((C + 1, 6, 6))
-                .at[cam_idx]
-                .add(Hcc_blk.reshape(-1, 6, 6))[:C]
+            def resh(x):
+                return x.reshape((n_ch, Pc) + x.shape[1:])
+
+            def scan_body(carry, args):
+                h, gc_, gr, s = carry
+                hc, gcc, grc, sc = chunk_terms(args)
+                return (h + hc, gc_ + gcc, gr + grc, s + sc), None
+
+            init = (
+                jnp.zeros((C + 1, 6, 6)), jnp.zeros((C + 1, 6)),
+                jnp.zeros((C + 1, 6)), jnp.zeros((C + 1, 6, C + 1, 6)),
             )
-            g_c = jnp.zeros((C + 1, 6)).at[cam_idx].add(
-                g_c_blk.reshape(-1, 6)
-            )[:C]
-            cam_c = jnp.clip(prob.obs_cam, 0, C)
-            S_acc = jnp.zeros(((C + 1) * (C + 1), 6, 6))
-            for o1 in range(O):
-                blk = jnp.einsum("pik,pqjk->pqij", YHinv[:, o1], Y)
-                pair_ok = ok[:, o1 : o1 + 1] & ok
-                pair_idx = jnp.where(
-                    pair_ok,
-                    cam_c[:, o1 : o1 + 1] * (C + 1) + cam_c,
-                    (C + 1) * (C + 1) - 1,
-                )
-                S_acc = S_acc.at[pair_idx.reshape(-1)].add(
-                    blk.reshape(-1, 6, 6)
-                )
-            S_red = S_acc.reshape(C + 1, C + 1, 6, 6)[:C, :C]
-            g_red = (
-                jnp.zeros((C + 1, 6))
-                .at[cam_idx]
-                .add(gt_blk.reshape(-1, 6))[:C]
+            (Hcc_f, g_c_f, g_red_f, S_f), _ = jax.lax.scan(
+                scan_body, init,
+                (resh(cam_c), resh(ok), resh(Hcc_blk), resh(g_c_blk),
+                 resh(gt_blk), resh(YL)),
             )
+        Hcc = Hcc_f[:C]
+        g_c = g_c_f[:C]
+        g_red = g_red_f[:C]
+        S_red = jnp.transpose(S_f, (0, 2, 1, 3))[:C, :C]
 
         # assemble dense reduced system [6C, 6C]
         dcc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)              # [C, 6]
