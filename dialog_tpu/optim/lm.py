@@ -11,6 +11,56 @@ import jax
 import jax.numpy as jnp
 
 
+def inv3x3(A: jax.Array) -> jax.Array:
+    """Closed-form adjugate inverse of batched 3x3 matrices.
+
+    `jnp.linalg.inv` lowers to batched LU, which is slow for huge batches of
+    tiny matrices on TPU; the adjugate is pure elementwise VPU work.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A21, A22, A23], -1),
+            jnp.stack([A31, A32, A33], -1),
+        ],
+        -2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def chol3x3(A: jax.Array) -> jax.Array:
+    """Closed-form lower-Cholesky of batched SPD 3x3 matrices (VPU-only)."""
+    a11 = jnp.sqrt(jnp.maximum(A[..., 0, 0], 1e-18))
+    l21 = A[..., 1, 0] / a11
+    l31 = A[..., 2, 0] / a11
+    l22 = jnp.sqrt(jnp.maximum(A[..., 1, 1] - l21 * l21, 1e-18))
+    l32 = (A[..., 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(A[..., 2, 2] - l31 * l31 - l32 * l32, 1e-18))
+    z = jnp.zeros_like(a11)
+    return jnp.stack(
+        [
+            jnp.stack([a11, z, z], -1),
+            jnp.stack([l21, l22, z], -1),
+            jnp.stack([l31, l32, l33], -1),
+        ],
+        -2,
+    )
+
+
 def huber_weight(chi2: jax.Array, delta2: float) -> jax.Array:
     """IRLS weight for the Huber loss given squared error chi2 = r^T W r.
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from .. import geometry as geo
 from ..config import EngineConfig
 from ..containers import INVALID_ID, MapState
-from .lm import huber_weight
+from .lm import chol3x3, huber_weight, inv3x3
 
 
 class BAProblem(NamedTuple):
@@ -221,7 +221,7 @@ def solve_ba(
         Hll_d = Hll + (lam * jnp.maximum(dll, 1e-9) + 1e-9)[..., None] * jnp.eye(
             3, dtype=Hll.dtype
         )
-        Hll_inv = jnp.linalg.inv(Hll_d)
+        Hll_inv = inv3x3(Hll_d)
 
         # camera-side reductions. Two codepaths with identical math:
         # * one-hot matmul (MXU): observations scatter into cameras via a
@@ -241,7 +241,7 @@ def solve_ba(
         gt_blk = jnp.einsum("poij,pj->poi", YHinv, g_l)          # [P,O,6]
 
         cam_c = jnp.clip(prob.obs_cam, 0, C)
-        Lh = jnp.linalg.cholesky(Hll_inv)                        # [P,3,3]
+        Lh = chol3x3(Hll_inv)                                    # [P,3,3]
         YL = jnp.einsum("poij,pjk->poik", Y, Lh)                 # [P,O,6,3]
 
         # landmark chunking keeps the [Pc, C+1, 6, 3] Z tensor bounded at
@@ -261,7 +261,16 @@ def solve_ba(
             g_c_c = jnp.einsum("poc,poi->ci", E, gcb)
             g_red_c = jnp.einsum("poc,poi->ci", E, gtb)
             Zc = jnp.einsum("poc,poik->pcik", E, yl)
-            S_c = jnp.einsum("pcik,pdjk->cidj", Zc, Zc)
+            # S = Z Z^T as one big matmul: contraction over (p, k) with the
+            # camera-block axis flattened — [6(C+1), 3 Pc] @ [3 Pc, 6(C+1)]
+            # is an MXU-shaped contraction (the naive einsum contracts over
+            # k=3 only, which starves the systolic array)
+            pc = Zc.shape[0]
+            Zr = jnp.transpose(Zc, (1, 2, 0, 3)).reshape(
+                (C + 1) * 6, pc * 3
+            )
+            S_flat = jnp.dot(Zr, Zr.T, preferred_element_type=jnp.float32)
+            S_c = S_flat.reshape(C + 1, 6, C + 1, 6)   # [c, i, d, j] layout
             return Hcc_c, g_c_c, g_red_c, S_c
 
         if n_ch == 1:

@@ -241,7 +241,7 @@ class Engine:
         self._last_frame = frame
         self._last_lm_ids = lm_ids_d
         self.state = OK
-        if self._need_keyframe(n_tracked):
+        if self._need_keyframe(n_tracked, fid=fid):
             slot = self.kf_count
             self.m = mapping.process_new_keyframe(
                 self.m, frame, R_d, t_d, lm_ids_d,
@@ -686,12 +686,19 @@ class Engine:
 
     # --- keyframe policy (reference: NeedNewKeyFrame) --------------------
 
-    def _need_keyframe(self, n_tracked: int) -> bool:
+    def _need_keyframe(self, n_tracked: int, fid: int | None = None) -> bool:
         if self.localization_only:
             return False
         if self.kf_count >= self.cfg.max_keyframes:
             return False
-        since = self.frame_id - self.last_kf_frame_id
+        fid = self.frame_id if fid is None else fid
+        if self._pending:
+            # pipelined mode: frames resolved now were launched before the
+            # last keyframe's map update landed — without a cooldown the
+            # weak/starving triggers re-fire on every lagged frame
+            if fid - self.last_kf_frame_id < len(self._pending) + 2:
+                return False
+        since = fid - self.last_kf_frame_id
         if since < 1:
             return False
         weak = n_tracked < self.cfg.kf_tracked_ratio * max(self.last_kf_tracked, 1)

@@ -252,18 +252,28 @@ def fused_track_step(
     lm_a, n_a = _motion_match(
         m, last_lm_ids, frame, R_pred, t_pred, cfg, cfg.motion_search_radius
     )
-    lm_b, n_b = _motion_match(
-        m, last_lm_ids, frame, R_pred, t_pred, cfg, 2.0 * cfg.motion_search_radius
-    )
-    lm_c, n_c = _ref_kf_match(m, ref_kf, frame, cfg)
 
-    use_a = n_a >= 20
-    use_b = ~use_a & (n_b >= 20)
-    lm_ids = jnp.where(use_a, lm_a, jnp.where(use_b, lm_b, lm_c))
-    n_mm = jnp.where(use_a, n_a, jnp.where(use_b, n_b, n_c))
-    # the reference-KF fallback restarts from the last pose, not the prediction
-    R0 = jnp.where(use_a | use_b, R_pred, R_last)
-    t0 = jnp.where(use_a | use_b, t_pred, t_last)
+    def happy(_):
+        return lm_a, n_a, R_pred, t_pred
+
+    def fallback(_):
+        # wider projection search, then reference-KF descriptor match; the
+        # lax.cond means the common case never pays for these (TPU executes
+        # only the taken branch)
+        lm_b, n_b = _motion_match(
+            m, last_lm_ids, frame, R_pred, t_pred, cfg,
+            2.0 * cfg.motion_search_radius,
+        )
+        lm_c, n_c = _ref_kf_match(m, ref_kf, frame, cfg)
+        use_b = n_b >= 20
+        lm = jnp.where(use_b, lm_b, lm_c)
+        n = jnp.where(use_b, n_b, n_c)
+        # the reference-KF fallback restarts from the last pose
+        R0f = jnp.where(use_b, R_pred, R_last)
+        t0f = jnp.where(use_b, t_pred, t_last)
+        return lm, n, R0f, t0f
+
+    lm_ids, n_mm, R0, t0 = jax.lax.cond(n_a >= 20, happy, fallback, None)
 
     X, uv, inv_s2, valid = gather_track_problem(m, frame, lm_ids, cfg)
     res = pose_optimization(
