@@ -38,9 +38,9 @@ def _kernel(band, a_ref, b_ref, uva_ref, uvb_ref, va_ref, vb_ref, r2r_ref,
 
     a = a_ref[...]                       # [BLOCK_N, 8] u32
     uva = uva_ref[...]                   # [BLOCK_N, 2]
-    va = va_ref[...]                     # [BLOCK_N] int32 validity
-    r2r = r2r_ref[...]                   # [BLOCK_N] row radius^2 (<0: off)
-    octa = octa_ref[...]                 # [BLOCK_N] i32 octave
+    va = va_ref[0]                       # [BLOCK_N] int32 validity
+    r2r = r2r_ref[0]                     # [BLOCK_N] row radius^2 (<0: off)
+    octa = octa_ref[0]                   # [BLOCK_N] i32 octave
 
     best = jnp.full((BLOCK_N,), MAX_DIST, jnp.int32)
     second = jnp.full((BLOCK_N,), MAX_DIST, jnp.int32)
@@ -96,9 +96,9 @@ def _kernel(band, a_ref, b_ref, uva_ref, uvb_ref, va_ref, vb_ref, r2r_ref,
     best, second, bidx = jax.lax.fori_loop(
         0, n_chunks, chunk, (best, second, bidx)
     )
-    idx_ref[...] = bidx
-    best_ref[...] = best
-    second_ref[...] = second
+    idx_ref[0] = bidx
+    best_ref[0] = best
+    second_ref[0] = second
 
 
 def _reference(desc_a, desc_b, valid_a, valid_b, uv_a, uv_b, r2_rows, r2_cols,
@@ -173,32 +173,36 @@ def hamming_best2(
             pl.BlockSpec((nch, CHUNK_M, 8), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_N, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, CHUNK_M, 2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_N,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, CHUNK_M), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_N,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, CHUNK_M), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_N,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, CHUNK_M), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BLOCK_N,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_N,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_N,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Np,), jnp.int32),
-            jax.ShapeDtypeStruct((Np,), jnp.int32),
-            jax.ShapeDtypeStruct((Np,), jnp.int32),
+            jax.ShapeDtypeStruct((Np // BLOCK_N, BLOCK_N), jnp.int32),
+            jax.ShapeDtypeStruct((Np // BLOCK_N, BLOCK_N), jnp.int32),
+            jax.ShapeDtypeStruct((Np // BLOCK_N, BLOCK_N), jnp.int32),
         ],
     )(
         pad(desc_a, Np), pad(desc_b, Mp).reshape(nch, CHUNK_M, 8),
         pad(uv_a, Np), pad(uv_b, Mp).reshape(nch, CHUNK_M, 2),
-        pad(valid_a.astype(jnp.int32), Np),
+        pad(valid_a.astype(jnp.int32), Np).reshape(-1, BLOCK_N),
         pad(valid_b.astype(jnp.int32), Mp).reshape(nch, CHUNK_M),
-        pad(radius2, Np, fill=-1.0),
+        pad(radius2, Np, fill=-1.0).reshape(-1, BLOCK_N),
         pad(radius2_cols, Mp, fill=-1.0).reshape(nch, CHUNK_M),
-        pad(oct_a, Np), pad(oct_b, Mp).reshape(nch, CHUNK_M),
+        pad(oct_a, Np).reshape(-1, BLOCK_N),
+        pad(oct_b, Mp).reshape(nch, CHUNK_M),
     )
+    idx = idx.reshape(-1)
+    best = best.reshape(-1)
+    second = second.reshape(-1)
     idx = jnp.where(best >= MAX_DIST, -1, idx)
     return idx[:N], best[:N], second[:N]
 

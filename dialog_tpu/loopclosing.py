@@ -126,12 +126,24 @@ class LoopCloser:
         )
         if not bool(res.success):
             return None
+        # image-space refinement with bidirectional reprojection edges
+        # (reference: Optimizer::OptimizeSim3 after the RANSAC stage)
+        from .sim3 import refine_sim3_reproj
+
+        uv1 = kfs.uv[cur]
+        uv2 = kfs.uv[cand][jb]
+        s2, R2, t2, inl, n_inl = refine_sim3_reproj(
+            res.s, res.R, res.t, X1, X2, uv1, uv2, res.inliers,
+            cfg.fx, cfg.fy, cfg.cx, cfg.cy, fix_scale=fix_scale,
+        )
+        if int(n_inl) < 20:
+            return None
         return LoopCandidate(
             cand_kf=cand_kf,
-            s=float(res.s),
-            R=np.asarray(res.R),
-            t=np.asarray(res.t),
-            n_inliers=int(res.n_inliers),
+            s=float(s2),
+            R=np.asarray(R2),
+            t=np.asarray(t2),
+            n_inliers=int(n_inl),
         )
 
     # --- correction (reference: LoopClosing::CorrectLoop) ---------------

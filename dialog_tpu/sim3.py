@@ -51,6 +51,92 @@ def _umeyama_batch(src, dst, with_scale):
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+def refine_sim3_reproj(
+    s0, R0, t0,
+    X1, X2,              # f32[N, 3] camera-frame points at the two ends
+    uv1, uv2,            # f32[N, 2] observed pixels of those points
+    valid,
+    fx: float, fy: float, cx: float, cy: float,
+    iters: int = 10,
+    fix_scale: bool = False,
+    chi2_th: float = 9.21,
+):
+    """Image-space Sim3 refinement with bidirectional reprojection edges.
+
+    Reference: ``Optimizer::OptimizeSim3`` (g2o VertexSim3Expmap with
+    EdgeSim3ProjectXYZ / EdgeInverseSim3ProjectXYZ, Huber). Residuals:
+    pi(S21 X1) - uv2 and pi(S21^-1 X2) - uv1; the 7-dof damped GN uses an
+    autodiff Jacobian of the stacked residual (one tall [4N, 7] system —
+    tiny).
+    """
+    from . import geometry as geo
+    from .optim.lm import huber_weight
+
+    def residuals(xi, s, R, t):
+        s2, R2, t2 = geo.sim3_retract(s, R, t, xi)
+        Xf = geo.sim3_apply(jnp.broadcast_to(s2, X1.shape[:1]), R2, t2, X1)
+        si, Ri, ti = geo.sim3_inv(s2, R2, t2)
+        Xb = geo.sim3_apply(jnp.broadcast_to(si, X2.shape[:1]), Ri, ti, X2)
+        zf = jnp.where(jnp.abs(Xf[:, 2]) < 1e-6, 1e-6, Xf[:, 2])
+        zb = jnp.where(jnp.abs(Xb[:, 2]) < 1e-6, 1e-6, Xb[:, 2])
+        rf = jnp.stack(
+            [fx * Xf[:, 0] / zf + cx - uv2[:, 0], fy * Xf[:, 1] / zf + cy - uv2[:, 1]],
+            -1,
+        )
+        rb = jnp.stack(
+            [fx * Xb[:, 0] / zb + cx - uv1[:, 0], fy * Xb[:, 1] / zb + cy - uv1[:, 1]],
+            -1,
+        )
+        ok = valid & (Xf[:, 2] > 1e-3) & (Xb[:, 2] > 1e-3)
+        return rf, rb, ok
+
+    zero7 = jnp.zeros(7)
+    mask7 = jnp.ones(7).at[6].set(0.0 if fix_scale else 1.0)
+
+    def step(carry, _):
+        s, R, t, lam = carry
+        rf, rb, ok = residuals(zero7, s, R, t)
+        Jf = jax.jacfwd(lambda x: residuals(x, s, R, t)[0])(zero7)  # [N,2,7]
+        Jb = jax.jacfwd(lambda x: residuals(x, s, R, t)[1])(zero7)
+        wf = huber_weight(jnp.sum(rf * rf, -1), chi2_th) * ok
+        wb = huber_weight(jnp.sum(rb * rb, -1), chi2_th) * ok
+        H = (
+            jnp.einsum("nki,n,nkj->ij", Jf, wf, Jf)
+            + jnp.einsum("nki,n,nkj->ij", Jb, wb, Jb)
+        )
+        g = jnp.einsum("nki,n,nk->i", Jf, wf, rf) + jnp.einsum(
+            "nki,n,nk->i", Jb, wb, rb
+        )
+        H = H + lam * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-9)) + 1e-9 * jnp.eye(7)
+        dx = -jnp.linalg.solve(H, g) * mask7
+        s2, R2, t2 = geo.sim3_retract(s, R, t, dx)
+        R2 = geo.orthogonalize(R2)
+        # accept if robust cost decreased
+        def cost(sa, Ra, ta):
+            rf2, rb2, ok2 = residuals(zero7, sa, Ra, ta)
+            return jnp.sum(
+                ok2 * (jnp.minimum(jnp.sum(rf2 * rf2, -1), chi2_th)
+                       + jnp.minimum(jnp.sum(rb2 * rb2, -1), chi2_th))
+            )
+        better = cost(s2, R2, t2) < cost(s, R, t)
+        s = jnp.where(better, s2, s)
+        R = jnp.where(better, R2, R)
+        t = jnp.where(better, t2, t)
+        lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0), 1e-9, 1e4)
+        return (s, R, t, lam), None
+
+    (s, R, t, _), _ = jax.lax.scan(
+        step, (s0, R0, t0, jnp.float32(1e-4)), jnp.arange(iters)
+    )
+    # final inlier classification
+    rf, rb, ok = residuals(zero7, s, R, t)
+    chif = jnp.sum(rf * rf, -1)
+    chib = jnp.sum(rb * rb, -1)
+    inl = ok & (chif < chi2_th) & (chib < chi2_th)
+    return s, R, t, inl, jnp.sum(inl.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def solve_sim3_ransac(
     X1: jax.Array,       # f32[N, 3] points in frame/world 1
     X2: jax.Array,       # f32[N, 3] corresponding points in frame/world 2

@@ -159,3 +159,38 @@ class TestPoseGraph:
                              np.asarray(t) / np.asarray(s)[:, None])
         err = np.abs(centers[:, 0] - gt_t[:, 0]).max()
         assert err < 0.05, err
+
+
+class TestSim3Refine:
+    def test_reproj_refinement_tightens_ransac_estimate(self):
+        from dialog_tpu.sim3 import refine_sim3_reproj
+        rng = np.random.default_rng(7)
+        n = 120
+        # camera-frame points at end 1
+        X1 = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                       rng.uniform(4, 9, n)], -1).astype(np.float32)
+        s_gt = 1.25
+        phi = np.array([0.1, -0.2, 0.15], np.float32)
+        R_gt = np.asarray(geo.so3_exp(jnp.asarray(phi)))
+        t_gt = np.array([0.4, -0.2, 0.6], np.float32)
+        X2 = (s_gt * X1 @ R_gt.T + t_gt).astype(np.float32)
+        fx = fy = 500.0; cx = 320.0; cy = 240.0
+        uv1 = np.stack([fx*X1[:,0]/X1[:,2]+cx, fy*X1[:,1]/X1[:,2]+cy], -1)
+        uv2 = np.stack([fx*X2[:,0]/X2[:,2]+cx, fy*X2[:,1]/X2[:,2]+cy], -1)
+        uv1 += rng.normal(0, 0.3, uv1.shape)
+        uv2 += rng.normal(0, 0.3, uv2.shape)
+        # start from a perturbed similarity
+        xi = np.r_[rng.normal(0, 0.05, 6), 0.05].astype(np.float32)
+        s0, R0, t0 = geo.sim3_retract(
+            jnp.asarray(s_gt, jnp.float32), jnp.asarray(R_gt), jnp.asarray(t_gt),
+            jnp.asarray(xi))
+        s, R, t, inl, n_inl = refine_sim3_reproj(
+            s0, R0, t0, jnp.asarray(X1), jnp.asarray(X2),
+            jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+            jnp.ones(n, bool), fx, fy, cx, cy, iters=12)
+        assert abs(float(s) - s_gt) < 0.01
+        dR = np.asarray(R) @ R_gt.T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR)-1)/2, -1, 1)))
+        assert ang < 0.3, ang
+        assert np.linalg.norm(np.asarray(t) - t_gt) < 0.03
+        assert int(n_inl) > 100
