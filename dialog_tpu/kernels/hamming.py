@@ -36,11 +36,12 @@ def _kernel(band, a_ref, b_ref, uva_ref, uvb_ref, va_ref, vb_ref, r2r_ref,
             r2c_ref, octa_ref, octb_ref, idx_ref, best_ref, second_ref):
     n_chunks = b_ref.shape[0]
 
+    i = pl.program_id(0)
     a = a_ref[...]                       # [BLOCK_N, 8] u32
     uva = uva_ref[...]                   # [BLOCK_N, 2]
-    va = va_ref[0]                       # [BLOCK_N] int32 validity
-    r2r = r2r_ref[0]                     # [BLOCK_N] row radius^2 (<0: off)
-    octa = octa_ref[0]                   # [BLOCK_N] i32 octave
+    va = va_ref[i]                       # [BLOCK_N] int32 validity
+    r2r = r2r_ref[i]                     # [BLOCK_N] row radius^2 (<0: off)
+    octa = octa_ref[i]                   # [BLOCK_N] i32 octave
 
     best = jnp.full((BLOCK_N,), MAX_DIST, jnp.int32)
     second = jnp.full((BLOCK_N,), MAX_DIST, jnp.int32)
@@ -96,9 +97,9 @@ def _kernel(band, a_ref, b_ref, uva_ref, uvb_ref, va_ref, vb_ref, r2r_ref,
     best, second, bidx = jax.lax.fori_loop(
         0, n_chunks, chunk, (best, second, bidx)
     )
-    idx_ref[0] = bidx
-    best_ref[0] = best
-    second_ref[0] = second
+    idx_ref[i] = bidx
+    best_ref[i] = best
+    second_ref[i] = second
 
 
 def _reference(desc_a, desc_b, valid_a, valid_b, uv_a, uv_b, r2_rows, r2_cols,
@@ -173,17 +174,17 @@ def hamming_best2(
             pl.BlockSpec((nch, CHUNK_M, 8), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_N, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, CHUNK_M, 2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np // BLOCK_N, BLOCK_N), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, CHUNK_M), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np // BLOCK_N, BLOCK_N), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, CHUNK_M), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np // BLOCK_N, BLOCK_N), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, CHUNK_M), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np // BLOCK_N, BLOCK_N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np // BLOCK_N, BLOCK_N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np // BLOCK_N, BLOCK_N), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Np // BLOCK_N, BLOCK_N), jnp.int32),

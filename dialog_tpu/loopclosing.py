@@ -17,6 +17,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+@jax.jit
+def _pack_detect(m, bow_db, cur_kf):
+    """BoW scores vs all KFs + covisibility row + validity, one array."""
+    from . import vocab as _vocab
+
+    scores = _vocab.bow_l1_scores(bow_db[cur_kf], bow_db)
+    return jnp.concatenate(
+        [
+            scores,
+            m.covis[cur_kf].astype(jnp.float32),
+            m.kfs.valid.astype(jnp.float32),
+        ]
+    )
+
 from . import geometry as geo
 from . import matching
 from .config import EngineConfig
@@ -57,14 +72,16 @@ class LoopCloser:
         cfg = self.cfg
         if bow_db is None or vocab is None:
             return []
-        covis_row = np.asarray(m.covis[cur_kf])
-        kf_valid = np.asarray(m.kfs.valid)
-        neighbors = (covis_row > 0) & kf_valid
         if cur_kf - self._last_loop_kf < 10:
             return []
-
-        q = bow_db[cur_kf]
-        scores = np.array(_vocab.bow_l1_scores(jnp.asarray(q), jnp.asarray(bow_db)))
+        # ONE packed device->host pull (each separate pull of a freshly
+        # computed value pays the full tunnel completion latency)
+        packed = np.asarray(_pack_detect(m, bow_db, jnp.int32(cur_kf)))
+        K = m.kfs.valid.shape[0]
+        scores = packed[:K].copy()
+        covis_row = packed[K : 2 * K]
+        kf_valid = packed[2 * K :] > 0.5
+        neighbors = (covis_row > 0) & kf_valid
         scores[~kf_valid] = -1.0
         scores[cur_kf] = -1.0
         # min score among covisible neighbors defines the gate
@@ -172,6 +189,14 @@ class LoopCloser:
         )
         s, R, t, cost = solve_pose_graph(prob, iters=pose_graph_iters)
         m = apply_pose_graph_correction(m, s, R, t, cfg)
+        # merge duplicate landmarks across the closed junction
+        # (reference: LoopClosing::SearchAndFuse with the corrected poses)
+        from .mapping import fuse_landmarks_into_kf, update_covis_for_kf
+
+        m = fuse_landmarks_into_kf(m, jnp.int32(loop.cand_kf), jnp.int32(cur_kf), cfg)
+        m = fuse_landmarks_into_kf(m, jnp.int32(cur_kf), jnp.int32(loop.cand_kf), cfg)
+        m = update_covis_for_kf(m, jnp.int32(cur_kf))
+        m = update_covis_for_kf(m, jnp.int32(loop.cand_kf))
         self.closed_loops.append((cur_kf, loop.cand_kf))
         self._last_loop_kf = cur_kf
         self._consistent = []

@@ -105,6 +105,8 @@ class Engine:
         # the tunnel completion latency; state decisions lag by this much)
         self._pending: list = []
         self._dev_state = None
+        self._ref_kf_dev = None   # cached device copy (H2D puts are not free)
+        self._true_dev = jnp.asarray(True)
         self.pipeline_depth = 3
 
     # ------------------------------------------------------------------
@@ -177,15 +179,17 @@ class Engine:
                 "has_vel": jnp.asarray(False),
                 "lm_ids": self._last_lm_ids,
             }
+        if self._ref_kf_dev is None:
+            self._ref_kf_dev = jnp.int32(self.ref_kf)
         R_d, t_d, lm_ids_d, packed = tracking.fused_track_step_auto(
             self.m, dev["lm_ids"], frame,
             dev["R"], dev["t"], dev["R_prev"], dev["t_prev"], dev["has_vel"],
-            jnp.int32(self.ref_kf), cfg, use_stereo=use_st,
+            self._ref_kf_dev, cfg, use_stereo=use_st,
         )
         self._dev_state = {
             "R": R_d, "t": t_d,
             "R_prev": dev["R"], "t_prev": dev["t"],
-            "has_vel": jnp.asarray(True),
+            "has_vel": self._true_dev,
             "lm_ids": lm_ids_d,
         }
         self._pending.append(
@@ -259,6 +263,7 @@ class Engine:
                     self.m, slot, cfg, iters=cfg.local_ba_iters
                 )
             self.ref_kf = slot
+            self._ref_kf_dev = None
             self.kf_count += 1
             self.last_kf_frame_id = fid
             self.last_kf_tracked = n_tracked
@@ -674,6 +679,7 @@ class Engine:
             lm_ids = jnp.where(res.inlier, lm_ids, INVALID_ID)
             self.state = OK
             self.ref_kf = cand
+            self._ref_kf_dev = None
             self._last_R = np.asarray(res.R)
             self._last_t = np.asarray(res.t)
             self._last_frame = frame
@@ -732,6 +738,7 @@ class Engine:
         # refresh this frame's associations with the new landmarks
         self._last_lm_ids = self.m.kfs.obs_lm[slot]
         self.ref_kf = slot
+        self._ref_kf_dev = None
         self.kf_count += 1
         self.last_kf_frame_id = self.frame_id
         self.last_kf_tracked = n_tracked
@@ -747,9 +754,7 @@ class Engine:
             or self.kf_count <= 10
         ):
             return
-        cands = self._loop.detect(
-            self.m, np.asarray(self._bow_db), self._vocab, slot
-        )
+        cands = self._loop.detect(self.m, self._bow_db, self._vocab, slot)
         for c in cands:
             self._key, sub = jax.random.split(self._key)
             lc = self._loop.compute_sim3(self.m, slot, c, sub)
