@@ -237,6 +237,16 @@ def compute_descriptors(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_features_batch(imgs: jax.Array, cfg: EngineConfig) -> FrameArrays:
+    """Batched frontend: f32[B, H, W] -> FrameArrays with leading batch dim.
+
+    One dispatch for B frames — per-dispatch overhead on the TPU tunnel is
+    the throughput bottleneck, not the extraction itself (KERNELS.md).
+    """
+    return jax.vmap(lambda im: extract_features(im, cfg))(imgs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_features(img: jax.Array, cfg: EngineConfig) -> FrameArrays:
     """Full frontend: f32[H, W] grayscale in [0, 255] -> FrameArrays.
 

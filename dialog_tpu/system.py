@@ -104,6 +104,7 @@ class Engine:
         # frames stay in flight before the host reads a result (larger hides
         # the tunnel completion latency; state decisions lag by this much)
         self._pending: list = []
+        self._pending_b: list = []
         self._dev_state = None
         self._ref_kf_dev = None   # cached device copy (H2D puts are not free)
         self._true_dev = jnp.asarray(True)
@@ -200,10 +201,151 @@ class Engine:
             return self._resolve_oldest()
         return None
 
+    def track_batch(self, frames: FrameArrays, timestamps) :
+        """Batched pipelined entry: track B frames in one device dispatch.
+
+        `frames` has a leading batch dim on every leaf (e.g. from
+        `frontend.extract_features_batch`). Per-dispatch tunnel overhead is
+        the throughput bottleneck (KERNELS.md), so B frames share one
+        dispatch; results resolve one batch behind. Returns the list of
+        FrameRecords resolved by this call (possibly empty).
+        """
+        B = len(timestamps)
+        if self.state != OK or self._last_lm_ids is None:
+            self.flush()
+            out = []
+            for b in range(B):
+                fb = jax.tree_util.tree_map(lambda x: x[b], frames)
+                out.append(self.track_features(fb, float(timestamps[b])))
+                if self.state == OK:
+                    # switch to batched mode for the remainder
+                    rest = jax.tree_util.tree_map(lambda x: x[b + 1 :], frames)
+                    if B - b - 1 > 0:
+                        out += self.track_batch(rest, timestamps[b + 1 :])
+                    return out
+            return out
+        cfg = self.cfg
+        use_st = cfg.sensor != Sensor.MONOCULAR and cfg.bf > 0
+        dev = self._dev_state
+        if dev is None:
+            dev = {
+                "R": jnp.asarray(self._last_R),
+                "t": jnp.asarray(self._last_t),
+                "R_prev": jnp.asarray(self._last_R),
+                "t_prev": jnp.asarray(self._last_t),
+                "has_vel": jnp.asarray(False),
+                "lm_ids": self._last_lm_ids,
+            }
+        if self._ref_kf_dev is None:
+            self._ref_kf_dev = jnp.int32(self.ref_kf)
+        R_l, t_l, R_p, t_p, lm_l, packed = tracking.fused_track_multi(
+            self.m, dev["lm_ids"], frames,
+            dev["R"], dev["t"], dev["R_prev"], dev["t_prev"], dev["has_vel"],
+            self._ref_kf_dev, cfg, use_stereo=use_st,
+        )
+        self._dev_state = {
+            "R": R_l, "t": t_l, "R_prev": R_p, "t_prev": t_p,
+            "has_vel": self._true_dev, "lm_ids": lm_l,
+        }
+        fids = list(range(self.frame_id, self.frame_id + B))
+        self.frame_id += B
+        self._pending_b.append(
+            (frames, list(timestamps), fids, self.ref_kf, lm_l, packed)
+        )
+        out = []
+        if len(self._pending_b) > 1:
+            out = self._resolve_batch()
+        return out
+
+    def _resolve_batch(self):
+        frames, ts_list, fids, ref_launch, lm_l, packed = self._pending_b.pop(0)
+        cfg = self.cfg
+        P = np.asarray(packed)                 # [B, 26] — one pull per batch
+        out = []
+        lost_at = None
+        for b in range(len(ts_list)):
+            p = P[b]
+            n_tracked = int(p[24])
+            if n_tracked < cfg.min_inliers_local:
+                lost_at = b
+                break
+            rec = FrameRecord(
+                frame_id=fids[b], timestamp=ts_list[b],
+                R=p[:9].reshape(3, 3), t=p[9:12],
+                state=OK, n_tracked=n_tracked, ref_kf=ref_launch,
+                R_rel=p[12:21].reshape(3, 3), t_rel=p[21:24],
+            )
+            self.trajectory.append(rec)
+            out.append(rec)
+            self._last_R, self._last_t = rec.R, np.asarray(p[9:12])
+        if lost_at is not None:
+            for b in range(lost_at, len(ts_list)):
+                rec = FrameRecord(
+                    frame_id=fids[b], timestamp=ts_list[b],
+                    R=self._last_R, t=self._last_t,
+                    state=LOST, n_tracked=0, ref_kf=ref_launch,
+                )
+                self.trajectory.append(rec)
+                out.append(rec)
+            # in-flight batches were computed against pre-loss state:
+            # record every frame rather than silently dropping them
+            for fr2, ts2, fid2, ref2, _, _ in self._pending_b:
+                for b in range(len(ts2)):
+                    rec = FrameRecord(
+                        frame_id=fid2[b], timestamp=ts2[b],
+                        R=self._last_R, t=self._last_t,
+                        state=LOST, n_tracked=0, ref_kf=ref2,
+                    )
+                    self.trajectory.append(rec)
+                    out.append(rec)
+            self._pending_b.clear()
+            self._dev_state = None
+            self.state = LOST
+            self._vel = None
+            return out
+        # keyframe decision: the batch's LAST frame is the only candidate —
+        # its pose and feature->landmark associations (lm_l) are mutually
+        # consistent; one KF per batch keeps mapping bounded
+        counts = P[:, 24].astype(int)
+        b_best = len(ts_list) - 1
+        self._last_lm_ids = lm_l
+        self._last_frame = None
+        self.state = OK
+        if self._need_keyframe(int(counts[b_best]), fid=fids[b_best]):
+            frame_b = jax.tree_util.tree_map(lambda x: x[b_best], frames)
+            slot = self.kf_count
+            self.m = mapping.process_new_keyframe(
+                self.m, frame_b,
+                jnp.asarray(P[b_best, :9].reshape(3, 3)),
+                jnp.asarray(P[b_best, 9:12]),
+                lm_l,
+                jnp.int32(fids[b_best]), jnp.float32(ts_list[b_best]),
+                jnp.int32(slot), jnp.int32(self.ref_kf), cfg,
+                spawn_depth=cfg.sensor != Sensor.MONOCULAR,
+                n_neighbors=cfg.kf_tri_neighbors,
+            )
+            if slot >= 2:
+                from .optim.local_ba import local_bundle_adjustment
+
+                self.m = local_bundle_adjustment(
+                    self.m, slot, cfg, iters=cfg.local_ba_iters
+                )
+            self.ref_kf = slot
+            self._ref_kf_dev = None
+            self.kf_count += 1
+            self.last_kf_frame_id = fids[b_best]
+            self.last_kf_tracked = int(counts[b_best])
+            self._ensure_vocab()
+            self._update_bow_row(slot)
+            self._detect_and_close_loop(slot)
+        return out
+
     def flush(self):
         """Drain the pipeline (call before reading trajectory / evaluating)."""
         while getattr(self, "_pending", None):
             self._resolve_oldest()
+        while getattr(self, "_pending_b", None):
+            self._resolve_batch()
         self._dev_state = None
 
     def _resolve_oldest(self):

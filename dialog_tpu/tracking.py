@@ -211,12 +211,56 @@ def fused_track_step_auto(
     """`fused_track_step` with the constant-velocity prediction computed on
     device from the two previous poses — lets the host chain frames without
     ever syncing pose values (the pipelined tracking mode)."""
-    Rv = geo.orthogonalize(R_last @ jnp.swapaxes(R_prev, -1, -2))
-    tv = t_last - Rv @ t_prev
-    R_pred = jnp.where(has_vel, Rv @ R_last, R_last)
-    t_pred = jnp.where(has_vel, Rv @ t_last + tv, t_last)
+    return _auto_step(
+        m, last_lm_ids, frame, R_last, t_last, R_prev, t_prev, has_vel,
+        ref_kf, cfg, use_stereo,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_stereo"))
+def fused_track_multi(
+    m: MapState,
+    lm_ids0: jax.Array,
+    frames: FrameArrays,        # leading batch dim B on every leaf
+    R0: jax.Array,
+    t0: jax.Array,
+    R_prev0: jax.Array,
+    t_prev0: jax.Array,
+    has_vel0: jax.Array,
+    ref_kf: jax.Array,
+    cfg: EngineConfig,
+    use_stereo: bool = False,
+):
+    """Track B consecutive frames in ONE dispatch (lax.scan over frames).
+
+    The per-dispatch tunnel overhead is the throughput bottleneck; batching
+    B frames amortizes it B-fold. The map is frozen for the batch — mapping
+    lags tracking by up to B + pipeline-depth frames, the same kind of lag
+    the reference's asynchronous LocalMapping exhibits.
+
+    Returns (R_last, t_last, R_prev, t_prev, lm_ids_last, packed [B, 26]).
+    """
+
+    def body(carry, frame):
+        lm_ids, R, t, Rp, tp, hv = carry
+        R2, t2, lm2, packed = _auto_step(
+            m, lm_ids, frame, R, t, Rp, tp, hv, ref_kf, cfg, use_stereo
+        )
+        return (lm2, R2, t2, R, t, jnp.asarray(True)), packed
+
+    init = (lm_ids0, R0, t0, R_prev0, t_prev0, has_vel0)
+    (lm_l, R_l, t_l, R_p, t_p, _), packed = jax.lax.scan(body, init, frames)
+    return R_l, t_l, R_p, t_p, lm_l, packed
+
+
+def _auto_step(m, lm_ids, frame, R, t, Rp, tp, hv, ref_kf, cfg, use_stereo):
+    """Un-jitted body shared by fused_track_step_auto and fused_track_multi."""
+    Rv = geo.orthogonalize(R @ jnp.swapaxes(Rp, -1, -2))
+    tv = t - Rv @ tp
+    R_pred = jnp.where(hv, Rv @ R, R)
+    t_pred = jnp.where(hv, Rv @ t + tv, t)
     return fused_track_step(
-        m, last_lm_ids, frame, R_pred, t_pred, R_last, t_last, ref_kf, cfg,
+        m, lm_ids, frame, R_pred, t_pred, R, t, ref_kf, cfg,
         use_stereo=use_stereo,
     )
 
