@@ -33,7 +33,7 @@ def main() -> None:
         max_keyframes=128, max_landmarks=16384, max_local_lms=4096,
         max_frames_between_kf=10,
     )
-    n_frames = 60
+    n_frames = 104
     scene = synth.make_scene(seed=3, n_points=1500, n_frames=n_frames, cfg=cfg)
     # pre-uploaded device images: the reference's timing also starts from an
     # in-memory cv::Mat, and the engine's "memory" is HBM
@@ -42,23 +42,30 @@ def main() -> None:
         for i in range(n_frames)
     ]
 
-    from dialog_tpu.frontend import extract_features
+    from dialog_tpu.frontend import extract_features_batch
 
+    B = 8
     eng = Engine(cfg)
-    # warmup: compile every step variant on the first frames
+    # warmup: compile every step variant (sync init + one batch)
     for i in range(8):
         eng.track_image(images[i], float(i) / 30.0)
+    warm = jnp.stack(images[8 : 8 + B])
+    eng.track_batch(extract_features_batch(warm, cfg), [float(8 + j) / 30.0 for j in range(B)])
+    eng.flush()
 
-    # timed: pipelined tracking (resolve one frame behind — the engine's
-    # throughput mode; the reference's mapping thread is async likewise)
+    # timed: batched pipelined tracking (B frames per dispatch — the
+    # engine's throughput mode; the reference's mapping thread is async
+    # likewise, here mapping lags by up to 2 batches)
+    start = 8 + B
     t0 = time.perf_counter()
-    for i in range(8, n_frames):
-        frame = extract_features(images[i], cfg)
-        eng.track_features_async(frame, float(i) / 30.0)
+    for i in range(start, n_frames - B + 1, B):
+        batch = extract_features_batch(jnp.stack(images[i : i + B]), cfg)
+        eng.track_batch(batch, [float(i + j) / 30.0 for j in range(B)])
     eng.flush()
     jax.block_until_ready(eng.m.kfs.R)
     elapsed = time.perf_counter() - t0
-    fps = (n_frames - 8) / elapsed
+    n_timed = ((n_frames - B + 1 - start) // B) * B
+    fps = n_timed / elapsed
 
     print(
         json.dumps(

@@ -250,12 +250,13 @@ def spawn_depth_landmarks(m: MapState, slot: jax.Array, cfg: EngineConfig) -> Ma
     return m._replace(kfs=m.kfs._replace(obs_lm=obs_lm), lms=lms)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "recount"))
 def fuse_landmarks_into_kf(
     m: MapState,
     src_kf: jax.Array,     # landmarks of this keyframe are projected...
     dst_kf: jax.Array,     # ...into this keyframe
     cfg: EngineConfig,
+    recount: bool = True,
 ) -> MapState:
     """Project src's landmarks into dst; add observations / merge duplicates.
 
@@ -312,7 +313,8 @@ def fuse_landmarks_into_kf(
     dead = jnp.zeros((L,), bool).at[jnp.where(dup, loser, L)].set(True, mode="drop")
     lms = lms._replace(valid=lms.valid & ~dead)
     m = m._replace(kfs=kfs._replace(obs_lm=all_obs), lms=lms)
-    m = recount_lm_obs(m)
+    if recount:
+        m = recount_lm_obs(m)
     return m
 
 
@@ -452,12 +454,13 @@ def process_new_keyframe(
         nb = neighbors[i]
 
         def do(mm):
-            mm = fuse_landmarks_into_kf(mm, slot, nb, cfg)
-            return fuse_landmarks_into_kf(mm, nb, slot, cfg)
+            mm = fuse_landmarks_into_kf(mm, slot, nb, cfg, recount=False)
+            return fuse_landmarks_into_kf(mm, nb, slot, cfg, recount=False)
 
         return jax.lax.cond(nb != slot, do, lambda mm: mm, m)
 
     m = jax.lax.fori_loop(0, n_neighbors, fuse_body, m)
+    m = recount_lm_obs(m)
     m = update_covis_for_kf(m, slot)
     m = refresh_landmark_descriptors(m, slot, cfg)
     m = cull_landmarks(m, slot, cfg)

@@ -840,11 +840,12 @@ class Engine:
         if self.kf_count >= self.cfg.max_keyframes:
             return False
         fid = self.frame_id if fid is None else fid
-        if self._pending:
-            # pipelined mode: frames resolved now were launched before the
+        lag = len(self._pending) + sum(len(e[1]) for e in self._pending_b)
+        if lag:
+            # pipelined modes: frames resolved now were launched before the
             # last keyframe's map update landed — without a cooldown the
             # weak/starving triggers re-fire on every lagged frame
-            if fid - self.last_kf_frame_id < len(self._pending) + 2:
+            if fid - self.last_kf_frame_id < lag + 2:
                 return False
         since = fid - self.last_kf_frame_id
         if since < 1:
