@@ -96,6 +96,12 @@ class EngineConfig:
     pose_opt_iters: int = 6
     local_ba_iters: int = 8
     kf_tri_neighbors: int = 2     # triangulation/fusion fan-out per keyframe
+    # descriptor gate for new-point triangulation between keyframes. Looser
+    # than th_low on purpose: the epipolar/reproj/parallax/cheirality checks
+    # do the real filtering, and map growth starves if this is tight
+    # (reference uses TH_LOW but restricts candidates to BoW buckets first)
+    tri_match_max_dist: int = 80
+    tri_match_ratio: float = 0.95
     global_ba_iters: int = 20
     chi2_mono: float = 5.991
     chi2_stereo: float = 7.815

@@ -163,7 +163,10 @@ def triangulate_between(
     sigma2_b = cfg.scale_factor ** (2.0 * kfs.octave[slot_b].astype(jnp.float32))
     epi_ok = d_epi < 3.84 * sigma2_b[None, :]
     dist = jnp.where(epi_ok, dist, matching.MAX_DIST)
-    mb, _ = matching.match_mutual(dist, free_a, free_b, max_dist=cfg.th_low, ratio=0.9)
+    mb, _ = matching.match_mutual(
+        dist, free_a, free_b,
+        max_dist=cfg.tri_match_max_dist, ratio=cfg.tri_match_ratio,
+    )
     has = mb >= 0
     jb = jnp.clip(mb, 0, F - 1)
 

@@ -61,6 +61,44 @@ def chol3x3(A: jax.Array) -> jax.Array:
     )
 
 
+def tri_inv3x3_lower(L: jax.Array) -> jax.Array:
+    """Closed-form inverse of batched lower-triangular 3x3 matrices.
+
+    With ``L = chol3x3(A)`` this gives ``A^-1 = L^-T L^-1`` as a product of
+    bounded factors — numerically far safer than the adjugate inverse for
+    near-singular SPD blocks (the adjugate's clamped determinant produces a
+    non-PD "inverse" whose Cholesky explodes; see solve_ba's Schur split).
+    """
+    l11, l22, l33 = L[..., 0, 0], L[..., 1, 1], L[..., 2, 2]
+    i11 = 1.0 / l11
+    i22 = 1.0 / l22
+    i33 = 1.0 / l33
+    i21 = -L[..., 1, 0] * i11 * i22
+    i31 = (L[..., 1, 0] * L[..., 2, 1] - L[..., 1, 1] * L[..., 2, 0]) * (
+        i11 * i22 * i33
+    )
+    i32 = -L[..., 2, 1] * i22 * i33
+    z = jnp.zeros_like(l11)
+    return jnp.stack(
+        [
+            jnp.stack([i11, z, z], -1),
+            jnp.stack([i21, i22, z], -1),
+            jnp.stack([i31, i32, i33], -1),
+        ],
+        -2,
+    )
+
+
+def all_finite(tree) -> jax.Array:
+    """Scalar bool: every leaf of the pytree is finite."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    ok = jnp.bool_(True)
+    for x in leaves:
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            ok = ok & jnp.all(jnp.isfinite(x))
+    return ok
+
+
 def huber_weight(chi2: jax.Array, delta2: float) -> jax.Array:
     """IRLS weight for the Huber loss given squared error chi2 = r^T W r.
 
@@ -94,7 +132,9 @@ def lm_loop(cost_and_system, retract, x0, iters: int, lam0: float = 1e-3):
         dx = solve_damped(H, g, lam)
         x_new = retract(x, dx)
         new_cost, H_new, g_new = cost_and_system(x_new)
-        accept = new_cost < cost
+        # a non-finite step can LOWER the masked robust cost (NaN residuals
+        # drop out of the valid mask) — never accept one
+        accept = (new_cost < cost) & all_finite(x_new)
         x = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), x_new, x
         )

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from .. import geometry as geo
 from ..config import EngineConfig
 from ..containers import INVALID_ID, MapState
-from .lm import chol3x3, huber_weight, inv3x3
+from .lm import all_finite, chol3x3, huber_weight, tri_inv3x3_lower
 
 
 class BAProblem(NamedTuple):
@@ -221,7 +221,13 @@ def solve_ba(
         Hll_d = Hll + (lam * jnp.maximum(dll, 1e-9) + 1e-9)[..., None] * jnp.eye(
             3, dtype=Hll.dtype
         )
-        Hll_inv = inv3x3(Hll_d)
+        # factor the DAMPED block (PD by construction): Hll_d = Ld Ld^T,
+        # Hll_inv = Ld^-T Ld^-1.  The adjugate inverse is cheaper but its
+        # clamped determinant yields a non-PD "inverse" for near-singular
+        # blocks, whose Cholesky split below then blows S_red past f32 range
+        Ld = chol3x3(Hll_d)
+        Ld_inv = tri_inv3x3_lower(Ld)
+        Hll_inv = jnp.einsum("pki,pkj->pij", Ld_inv, Ld_inv)
 
         # camera-side reductions. Two codepaths with identical math:
         # * one-hot matmul (MXU): observations scatter into cameras via a
@@ -241,7 +247,9 @@ def solve_ba(
         gt_blk = jnp.einsum("poij,pj->poi", YHinv, g_l)          # [P,O,6]
 
         cam_c = jnp.clip(prob.obs_cam, 0, C)
-        Lh = chol3x3(Hll_inv)                                    # [P,3,3]
+        # square root of Hll_inv for the Z Z^T split: Lh = Ld^-T, since
+        # Lh Lh^T = Ld^-T Ld^-1 = Hll_inv.  Bounded: diag(Z Z^T) <= diag(Hcc)
+        Lh = jnp.swapaxes(Ld_inv, -1, -2)                        # [P,3,3]
         YL = jnp.einsum("poij,pjk->poik", Y, Lh)                 # [P,O,6,3]
 
         # landmark chunking keeps the [Pc, C+1, 6, 3] Z tensor bounded at
@@ -337,7 +345,9 @@ def solve_ba(
         R, t, xyz, lam, cost = carry
         R_new, t_new, xyz_new, _ = step(R, t, xyz, lam)
         new_cost = cost_of(R_new, t_new, xyz_new)
-        accept = new_cost < cost
+        # non-finite params mask their residuals out of the robust cost, so
+        # a NaN step can look like an improvement — reject it explicitly
+        accept = (new_cost < cost) & all_finite((R_new, t_new, xyz_new))
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         xyz = jnp.where(accept, xyz_new, xyz)

@@ -224,6 +224,16 @@ class Engine:
                         out += self.track_batch(rest, timestamps[b + 1 :])
                     return out
             return out
+        # resolve the in-flight batch BEFORE dispatching this one: its device
+        # work finished while the host prepared this batch, so this costs no
+        # pipelining — and any keyframe it creates lands in the map this
+        # batch tracks against (launching first leaves tracking 2 batches
+        # behind mapping, which starves it on fast camera sweeps)
+        out = []
+        if self._pending_b:
+            out = self._resolve_batch()
+            if self.state != OK:
+                return out + self.track_batch(frames, timestamps)
         cfg = self.cfg
         use_st = cfg.sensor != Sensor.MONOCULAR and cfg.bf > 0
         dev = self._dev_state
@@ -252,9 +262,6 @@ class Engine:
         self._pending_b.append(
             (frames, list(timestamps), fids, self.ref_kf, lm_l, packed)
         )
-        out = []
-        if len(self._pending_b) > 1:
-            out = self._resolve_batch()
         return out
 
     def _resolve_batch(self):
@@ -840,12 +847,21 @@ class Engine:
         if self.kf_count >= self.cfg.max_keyframes:
             return False
         fid = self.frame_id if fid is None else fid
-        lag = len(self._pending) + sum(len(e[1]) for e in self._pending_b)
-        if lag:
-            # pipelined modes: frames resolved now were launched before the
-            # last keyframe's map update landed — without a cooldown the
-            # weak/starving triggers re-fire on every lagged frame
-            if fid - self.last_kf_frame_id < lag + 2:
+        if self._pending:
+            # per-frame pipelined mode: frames resolved now were launched
+            # before the last keyframe's map update landed — without a
+            # cooldown the weak/starving triggers re-fire on every lagged
+            # frame
+            if fid - self.last_kf_frame_id < len(self._pending) + 2:
+                return False
+        if self._pending_b:
+            # batch mode: the KF decision already runs once per batch, so
+            # candidates arrive B frames apart; require only that at least
+            # one full batch passed since the last keyframe (a tighter
+            # lag-based cooldown starves map growth at exactly the moment
+            # tracking is decaying)
+            batch_len = len(self._pending_b[0][1])
+            if fid - self.last_kf_frame_id < batch_len:
                 return False
         since = fid - self.last_kf_frame_id
         if since < 1:

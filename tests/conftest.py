@@ -8,8 +8,11 @@ cluster").
 
 import os
 
-# Force CPU: the session env sets JAX_PLATFORMS=axon (TPU), so setdefault is
-# not enough. TPU runs happen via bench.py / cli.py, never via pytest.
+# Force CPU: the session env sets JAX_PLATFORMS=axon (TPU). The env var alone
+# is NOT honored once the axon PJRT plugin is installed (verified: with
+# JAX_PLATFORMS=cpu in the environment, jax.devices() still returns the TPU),
+# so set the config flag explicitly below. TPU runs happen via bench.py /
+# cli.py, never via pytest.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -19,4 +22,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.default_backend()
+)
+assert len(jax.devices()) >= 8, "8-device virtual CPU mesh not active"
