@@ -7,7 +7,12 @@ The baseline is the reference C++ pipeline's ~30 fps on TUM-class input
 Runs on whatever backend JAX selects (the driver runs it on the real TPU
 chip). The workload is the reference's hot path: 640x480 monocular frames,
 1000 features, 8 pyramid levels — frontend + matching + pose optimization +
-keyframe mapping/BA amortized over the sequence.
+keyframe mapping/BA + loop detection amortized over the sequence.
+
+The warmup region compiles EVERY runtime path before timing starts (sync
+init, batched tracking, keyframe mapping + local BA, vocabulary training,
+loop detection, and relocalization via a forced occlusion) — the analog of
+the reference's untimed ~10 s vocabulary load at startup.
 """
 
 from __future__ import annotations
@@ -30,11 +35,11 @@ def main() -> None:
 
     cfg = EngineConfig(
         width=640, height=480, n_features=1000, max_features=1024,
-        max_keyframes=128, max_landmarks=16384, max_local_lms=4096,
+        max_keyframes=256, max_landmarks=16384, max_local_lms=4096,
         max_frames_between_kf=10,
     )
-    n_frames = 104
-    scene = synth.make_scene(seed=3, n_points=1500, n_frames=n_frames, cfg=cfg)
+    n_frames = 264
+    scene = synth.make_scene(seed=3, n_points=2500, n_frames=n_frames, cfg=cfg)
     # pre-uploaded device images: the reference's timing also starts from an
     # in-memory cv::Mat, and the engine's "memory" is HBM
     images = [
@@ -46,21 +51,40 @@ def main() -> None:
 
     B = 8
     eng = Engine(cfg)
-    # warmup: compile every step variant (sync init + one batch)
+
+    def run_batch(i, occlude=False):
+        batch = extract_features_batch(jnp.stack(images[i : i + B]), cfg)
+        if occlude:
+            # blank the first half of the batch: forces LOST and compiles
+            # the relocalization path during warmup
+            batch = batch._replace(
+                valid=batch.valid.at[: B // 2].set(False)
+            )
+        eng.track_batch(batch, [float(i + j) / 30.0 for j in range(B)])
+
+    # --- warmup: frames [0, warm_end) -----------------------------------
+    warm_end = 104
     for i in range(8):
         eng.track_image(images[i], float(i) / 30.0)
-    warm = jnp.stack(images[8 : 8 + B])
-    eng.track_batch(extract_features_batch(warm, cfg), [float(8 + j) / 30.0 for j in range(B)])
+    for i in range(8, warm_end, B):
+        run_batch(i, occlude=(i == 48))
     eng.flush()
+    # ensure tracking is healthy before the timed region
+    while eng.frame_id < warm_end + 2 * B and eng.state != "OK":
+        i = eng.frame_id
+        eng.track_features(
+            jax.tree_util.tree_map(
+                lambda x: x[0],
+                extract_features_batch(jnp.stack(images[i : i + 1]), cfg),
+            ),
+            float(i) / 30.0,
+        )
 
-    # timed: batched pipelined tracking (B frames per dispatch — the
-    # engine's throughput mode; the reference's mapping thread is async
-    # likewise, here mapping lags by up to 2 batches)
-    start = 8 + B
+    # --- timed region ----------------------------------------------------
+    start = ((eng.frame_id + B - 1) // B) * B
     t0 = time.perf_counter()
     for i in range(start, n_frames - B + 1, B):
-        batch = extract_features_batch(jnp.stack(images[i : i + B]), cfg)
-        eng.track_batch(batch, [float(i + j) / 30.0 for j in range(B)])
+        run_batch(i)
     eng.flush()
     jax.block_until_ready(eng.m.kfs.R)
     elapsed = time.perf_counter() - t0

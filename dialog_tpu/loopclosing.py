@@ -62,22 +62,38 @@ class LoopCloser:
         self._consistent: list[tuple[set[int], int]] = []
         self.closed_loops: list[tuple[int, int]] = []
         self._last_loop_kf = -(10**9)
+        # detection dispatched at the previous keyframe, evaluated at the
+        # next one (reference: LoopClosing runs on its own thread, one KF
+        # behind; here the lag hides the device->host pull behind a full
+        # keyframe of tracking instead of stalling the resolve path)
+        self._pending_detect: tuple[int, jax.Array, jax.Array] | None = None
 
     # --- detection (reference: LoopClosing::DetectLoop) -----------------
 
-    def detect(self, m: MapState, bow_db, vocab, cur_kf: int) -> list[int]:
-        """Return loop candidate KF slots passing the consistency gate."""
-        from . import vocab as _vocab
+    def detect(self, m: MapState, bow_db, vocab, cur_kf: int) -> tuple[int, list[int]]:
+        """Dispatch detection for `cur_kf`; evaluate + return the previous
+        keyframe's detection as (that_kf, candidate_slots)."""
+        prev = self._pending_detect
+        self._pending_detect = None
+        if (
+            bow_db is not None
+            and vocab is not None
+            and cur_kf - self._last_loop_kf >= 10
+        ):
+            self._pending_detect = (
+                cur_kf, _pack_detect(m, bow_db, jnp.int32(cur_kf)), m.covis
+            )
+        if prev is None:
+            return -1, []
+        return prev[0], self._evaluate(prev)
 
+    def _evaluate(self, prev: tuple[int, jax.Array, jax.Array]) -> list[int]:
         cfg = self.cfg
-        if bow_db is None or vocab is None:
-            return []
-        if cur_kf - self._last_loop_kf < 10:
-            return []
-        # ONE packed device->host pull (each separate pull of a freshly
-        # computed value pays the full tunnel completion latency)
-        packed = np.asarray(_pack_detect(m, bow_db, jnp.int32(cur_kf)))
-        K = m.kfs.valid.shape[0]
+        cur_kf, packed_dev, covis_dev = prev
+        # by now the device finished this long ago: the pull costs only the
+        # transfer, not a pipeline drain
+        packed = np.asarray(packed_dev)
+        K = covis_dev.shape[0]
         scores = packed[:K].copy()
         covis_row = packed[K : 2 * K]
         kf_valid = packed[2 * K :] > 0.5
@@ -95,8 +111,9 @@ class LoopCloser:
         # 3-consecutive-KF covisibility consistency (reference gate)
         accepted = []
         new_groups: list[tuple[set[int], int]] = []
+        covis_np = np.asarray(covis_dev) if len(cands) else None
         for c in cands:
-            group = set(np.nonzero((np.asarray(m.covis[int(c)]) > 0) & kf_valid)[0])
+            group = set(np.nonzero((covis_np[int(c)] > 0) & kf_valid)[0])
             group.add(int(c))
             count = 1
             for prev_group, prev_count in self._consistent:

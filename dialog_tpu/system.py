@@ -913,13 +913,13 @@ class Engine:
             or self.kf_count <= 10
         ):
             return
-        cands = self._loop.detect(self.m, self._bow_db, self._vocab, slot)
+        det_kf, cands = self._loop.detect(self.m, self._bow_db, self._vocab, slot)
         for c in cands:
             self._key, sub = jax.random.split(self._key)
-            lc = self._loop.compute_sim3(self.m, slot, c, sub)
+            lc = self._loop.compute_sim3(self.m, det_kf, c, sub)
             if lc is None:
                 continue
-            self.m = self._loop.correct(self.m, slot, lc, self.cfg)
+            self.m = self._loop.correct(self.m, det_kf, lc, self.cfg)
             # refine the whole map after the topological correction
             from .optim.global_ba import global_bundle_adjustment
 

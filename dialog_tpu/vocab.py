@@ -48,15 +48,23 @@ def _hamming(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(x, axis=-1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_words", "iters"))
+@functools.partial(jax.jit, static_argnames=("n_words", "iters", "chunk"))
 def train_vocab(
     desc: jax.Array,       # u32[N, 8] training descriptors
     valid: jax.Array,      # bool[N]
     key: jax.Array,
     n_words: int = 4096,
     iters: int = 8,
+    chunk: int = 8192,
 ) -> Vocabulary:
-    """Binary k-medians: assign by Hamming argmin, centroid = per-bit majority."""
+    """Binary k-medians: assign by Hamming argmin, centroid = per-bit majority.
+
+    Contraction-based: Hamming(a, b) = |a| + |b| - 2 a.b over unpacked bits,
+    so the [N, W] distance matrix and the per-cluster bit sums are both MXU
+    matmuls, chunked over N (the naive pairwise-popcount form materializes an
+    [N, W, 8] tensor — gigabytes of HBM traffic at map scale — and the
+    scatter-add centroid update serializes on TPU).
+    """
     N = desc.shape[0]
     # init: random sample of valid descriptors
     p = valid.astype(jnp.float32)
@@ -64,16 +72,29 @@ def train_vocab(
     idx = jax.random.choice(key, N, (n_words,), replace=True, p=p)
     words = desc[idx]
 
-    bits = _unpack_bits(desc)                    # [N, 256]
-    w_valid = valid.astype(jnp.float32)
+    pad = (-N) % chunk
+    desc_c = jnp.pad(desc, ((0, pad), (0, 0))).reshape(-1, chunk, 8)
+    valid_c = jnp.pad(valid, (0, pad)).reshape(-1, chunk)
 
     def step(_, words):
-        d = _hamming(desc, words)                # [N, W]
-        d = jnp.where(valid[:, None], d, 10_000)
-        assign = jnp.argmin(d, axis=1)           # [N]
-        # per-cluster bit sums + counts via segment scatter
-        ssum = jnp.zeros((n_words, 256)).at[assign].add(bits * w_valid[:, None])
-        cnt = jnp.zeros((n_words,)).at[assign].add(w_valid)
+        wbits = _unpack_bits(words)                      # [W, 256]
+        wsum = jnp.sum(wbits, axis=-1)                   # [W]
+
+        def chunk_body(carry, xs):
+            ssum, cnt = carry
+            dc, vc = xs
+            b = _unpack_bits(dc)                         # [C, 256]
+            dots = jnp.dot(b, wbits.T)                   # [C, W]  (MXU)
+            d = jnp.sum(b, -1)[:, None] + wsum[None, :] - 2.0 * dots
+            assign = jnp.argmin(d, axis=1)
+            E = jax.nn.one_hot(assign, n_words, dtype=jnp.float32)
+            E = E * vc[:, None].astype(jnp.float32)
+            ssum = ssum + jnp.dot(E.T, b)                # [W, 256] (MXU)
+            cnt = cnt + jnp.sum(E, axis=0)
+            return (ssum, cnt), None
+
+        init = (jnp.zeros((n_words, 256)), jnp.zeros((n_words,)))
+        (ssum, cnt), _ = jax.lax.scan(chunk_body, init, (desc_c, valid_c))
         maj = ssum > 0.5 * jnp.maximum(cnt, 1.0)[:, None]
         new_words = _pack_bits(maj)
         # keep old centroid for empty clusters
