@@ -35,8 +35,9 @@ def main() -> None:
 
     cfg = EngineConfig(
         width=640, height=480, n_features=1000, max_features=1024,
-        max_keyframes=256, max_landmarks=16384, max_local_lms=4096,
-        max_frames_between_kf=10,
+        max_keyframes=256, max_landmarks=16384, max_local_lms=2048,
+        max_local_kfs=16, max_fixed_kfs=16, max_obs_per_lm=8,
+        local_ba_iters=5, max_frames_between_kf=10,
     )
     n_frames = 264
     scene = synth.make_scene(seed=3, n_points=2500, n_frames=n_frames, cfg=cfg)

@@ -70,11 +70,8 @@ class LoopCloser:
 
     # --- detection (reference: LoopClosing::DetectLoop) -----------------
 
-    def detect(self, m: MapState, bow_db, vocab, cur_kf: int) -> tuple[int, list[int]]:
-        """Dispatch detection for `cur_kf`; evaluate + return the previous
-        keyframe's detection as (that_kf, candidate_slots)."""
-        prev = self._pending_detect
-        self._pending_detect = None
+    def dispatch(self, m: MapState, bow_db, vocab, cur_kf: int) -> None:
+        """Queue detection for `cur_kf` (device work only, no pull)."""
         if (
             bow_db is not None
             and vocab is not None
@@ -83,16 +80,28 @@ class LoopCloser:
             self._pending_detect = (
                 cur_kf, _pack_detect(m, bow_db, jnp.int32(cur_kf)), m.covis
             )
+
+    def take_pending(self) -> tuple[int, jax.Array, jax.Array] | None:
+        """Hand the pending detection to a caller that will pull it fused
+        with another transfer (the batch resolve path)."""
+        prev = self._pending_detect
+        self._pending_detect = None
+        return prev
+
+    def detect(self, m: MapState, bow_db, vocab, cur_kf: int) -> tuple[int, list[int]]:
+        """Dispatch detection for `cur_kf`; evaluate + return the previous
+        keyframe's detection as (that_kf, candidate_slots)."""
+        prev = self.take_pending()
+        self.dispatch(m, bow_db, vocab, cur_kf)
         if prev is None:
             return -1, []
-        return prev[0], self._evaluate(prev)
+        return prev[0], self.evaluate(prev[0], np.asarray(prev[1]), prev[2])
 
-    def _evaluate(self, prev: tuple[int, jax.Array, jax.Array]) -> list[int]:
+    def evaluate(
+        self, cur_kf: int, packed: np.ndarray, covis_dev: jax.Array
+    ) -> list[int]:
+        """Host-side candidate gating on an already-pulled detection vector."""
         cfg = self.cfg
-        cur_kf, packed_dev, covis_dev = prev
-        # by now the device finished this long ago: the pull costs only the
-        # transfer, not a pipeline drain
-        packed = np.asarray(packed_dev)
         K = covis_dev.shape[0]
         scores = packed[:K].copy()
         covis_row = packed[K : 2 * K]

@@ -259,15 +259,24 @@ class Engine:
         }
         fids = list(range(self.frame_id, self.frame_id + B))
         self.frame_id += B
+        # fuse the pending loop-detection vector into this batch's packed
+        # pull: each separate device->host pull pays the full tunnel
+        # completion latency, so piggyback it on the transfer we make anyway
+        det = self._loop.take_pending() if self.loop_closing_enabled else None
+        pull = packed.reshape(-1)
+        if det is not None:
+            pull = jnp.concatenate([pull, det[1]])
         self._pending_b.append(
-            (frames, list(timestamps), fids, self.ref_kf, lm_l, packed)
+            (frames, list(timestamps), fids, self.ref_kf, lm_l, pull, det)
         )
         return out
 
     def _resolve_batch(self):
-        frames, ts_list, fids, ref_launch, lm_l, packed = self._pending_b.pop(0)
+        frames, ts_list, fids, ref_launch, lm_l, pull, det = self._pending_b.pop(0)
         cfg = self.cfg
-        P = np.asarray(packed)                 # [B, 26] — one pull per batch
+        B = len(ts_list)
+        V = np.asarray(pull)                   # ONE pull per batch
+        P = V[: B * 26].reshape(B, 26)
         out = []
         lost_at = None
         for b in range(len(ts_list)):
@@ -296,7 +305,7 @@ class Engine:
                 out.append(rec)
             # in-flight batches were computed against pre-loss state:
             # record every frame rather than silently dropping them
-            for fr2, ts2, fid2, ref2, _, _ in self._pending_b:
+            for fr2, ts2, fid2, ref2, _, _, _ in self._pending_b:
                 for b in range(len(ts2)):
                     rec = FrameRecord(
                         frame_id=fid2[b], timestamp=ts2[b],
@@ -344,7 +353,14 @@ class Engine:
             self.last_kf_tracked = int(counts[b_best])
             self._ensure_vocab()
             self._update_bow_row(slot)
-            self._detect_and_close_loop(slot)
+            # dispatch-only: the detection vector rides the NEXT batch's pull
+            self._detect_and_close_loop(slot, dispatch_only=True)
+        # evaluate the detection fused into THIS batch's pull (dispatched at
+        # an earlier keyframe; its device work is long done)
+        if det is not None:
+            det_kf = det[0]
+            cands = self._loop.evaluate(det_kf, V[B * 26 :], det[2])
+            self._close_loop_from(det_kf, cands)
         return out
 
     def flush(self):
@@ -905,7 +921,7 @@ class Engine:
         self._update_bow_row(slot)
         self._detect_and_close_loop(slot)
 
-    def _detect_and_close_loop(self, slot: int):
+    def _detect_and_close_loop(self, slot: int, dispatch_only: bool = False):
         """Per-keyframe loop detection/closure (reference: LoopClosing::Run)."""
         if (
             not self.loop_closing_enabled
@@ -913,7 +929,15 @@ class Engine:
             or self.kf_count <= 10
         ):
             return
+        if dispatch_only:
+            # batch mode: queue the detection; its vector is pulled fused
+            # with the next batch's packed result and evaluated there
+            self._loop.dispatch(self.m, self._bow_db, self._vocab, slot)
+            return
         det_kf, cands = self._loop.detect(self.m, self._bow_db, self._vocab, slot)
+        self._close_loop_from(det_kf, cands)
+
+    def _close_loop_from(self, det_kf: int, cands) -> None:
         for c in cands:
             self._key, sub = jax.random.split(self._key)
             lc = self._loop.compute_sim3(self.m, det_kf, c, sub)
@@ -924,8 +948,10 @@ class Engine:
             from .optim.global_ba import global_bundle_adjustment
 
             self.m = global_bundle_adjustment(self.m, self.cfg, iters=8)
-            # resume tracking from the corrected keyframe pose
-            self._last_R = np.asarray(self.m.kfs.R[slot])
-            self._last_t = np.asarray(self.m.kfs.t[slot])
+            # resume tracking from the corrected latest-keyframe pose
+            self._last_R = np.asarray(self.m.kfs.R[self.ref_kf])
+            self._last_t = np.asarray(self.m.kfs.t[self.ref_kf])
             self._vel = None
+            # in-flight device tracking state predates the correction
+            self._dev_state = None
             break
