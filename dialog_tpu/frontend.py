@@ -11,15 +11,19 @@ binary descriptors. Design departures (SURVEY.md §7.1):
   (max threshold at which the pixel stays a corner).
 * The quadtree ``DistributeOctTree`` is replaced by per-cell top-K response
   selection (same spatial-uniformity goal, static shapes).
-* Descriptors use a fixed seeded Gaussian BRIEF pattern instead of OpenCV's
-  learned table; the engine is self-contained (its own vocabulary, its own
-  matching) so cross-library bit compatibility is unnecessary. Samples are
-  taken from per-keypoint 31x31 patch tensors (contiguous dynamic slices),
-  turning 512 scattered image gathers per keypoint into one small
-  ``take_along_axis`` — the TPU-friendly layout.
+* **Everything irregular is a matmul.** TPU gathers (vmap'd dynamic slices,
+  take_along_axis) measured 10-50x slower than the MXU doing the same data
+  movement as dense contractions, so: pyramid resize = banded resize-matrix
+  matmuls; Gaussian blur = banded blur-matrix matmuls; per-keypoint 31x31
+  patch extraction = row/column one-hot einsums; descriptor sampling = one
+  {-1,0,+1} comparison matrix per discretized orientation, applied as a
+  single [N, 961] x [961, 30*256] matmul and a bin-select contraction. The
+  orientation is discretized to 30 bins of 12 deg — exactly the lookup-table
+  scheme of the original ORB paper (Rublee et al. 2011, §4.3) and the
+  canonical extractor's precomputed rotated patterns.
 
 Everything here is shape-static given an ``EngineConfig`` and jit-compatible;
-``extract_features`` is the jitted entry.
+``extract_features`` / ``extract_features_batch`` are the jitted entries.
 """
 
 from __future__ import annotations
@@ -46,6 +50,12 @@ _CIRCLE = np.array(
 PATCH_R = 15          # orientation / descriptor patch radius
 PATCH = 2 * PATCH_R + 1
 BORDER = PATCH_R + 4  # keep full patches inside the image (+blur margin)
+N_ANGLE_BINS = 30     # 12 deg orientation discretization (ORB paper §4.3)
+
+# cheapest MXU precision: exact for 0/1-weight selection matmuls (a one-hot
+# row has a single 1.0 product; bf16 holds +-1 and the f32 accumulator keeps
+# the selected value intact apart from one bf16 rounding of the operand)
+_FAST_DOT = jax.lax.Precision.DEFAULT
 
 
 def _brief_pattern(n_bits: int = 256, seed: int = 1234) -> np.ndarray:
@@ -87,8 +97,52 @@ def features_per_level(cfg: EngineConfig) -> list[int]:
     return counts
 
 
+# ---------------------------------------------------------------------------
+# resize / blur as banded-matrix matmuls (MXU instead of gather)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_src: int, n_dst: int) -> np.ndarray:
+    """[n_dst, n_src] triangle-filter (antialiased bilinear) resize operator.
+
+    Matches ``jax.image.resize(..., method="bilinear")`` semantics: half-pixel
+    centers, kernel radius max(1, src/dst), weights normalized per row.
+    """
+    scale = n_src / n_dst
+    support = max(scale, 1.0)
+    out = np.zeros((n_dst, n_src), np.float32)
+    for i in range(n_dst):
+        pos = (i + 0.5) * scale - 0.5
+        j0 = int(math.floor(pos - support)) - 1
+        for j in range(j0, j0 + int(2 * support) + 3):
+            w = max(0.0, 1.0 - abs(j - pos) / support)
+            if w > 0.0:
+                out[i, min(max(j, 0), n_src - 1)] += w
+        out[i] /= out[i].sum()
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _blur_matrix(n: int, sigma: float = 2.0, radius: int = 3) -> np.ndarray:
+    """[n, n] banded Gaussian blur operator with edge clamping."""
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    out = np.zeros((n, n), np.float32)
+    for off, w in zip(range(-radius, radius + 1), k):
+        idx = np.clip(np.arange(n) + off, 0, n - 1)
+        out[np.arange(n), idx] += w
+    return out
+
+
 def resize_bilinear(img: jax.Array, shape: tuple[int, int]) -> jax.Array:
-    return jax.image.resize(img, shape, method="bilinear")
+    """Separable triangle-filter resize as two matmuls (MXU path)."""
+    ry = jnp.asarray(_resize_matrix(img.shape[0], shape[0]))
+    rx = jnp.asarray(_resize_matrix(img.shape[1], shape[1]))
+    return jnp.einsum(
+        "ih,hw,jw->ij", ry, img, rx, precision=_FAST_DOT
+    )
 
 
 def build_pyramid(img: jax.Array, cfg: EngineConfig) -> list[jax.Array]:
@@ -101,16 +155,16 @@ def build_pyramid(img: jax.Array, cfg: EngineConfig) -> list[jax.Array]:
 
 
 def gaussian_blur(img: jax.Array, sigma: float = 2.0, radius: int = 3) -> jax.Array:
-    """Separable Gaussian blur (reference blurs before descriptor sampling)."""
-    x = np.arange(-radius, radius + 1, dtype=np.float32)
-    k = np.exp(-0.5 * (x / sigma) ** 2)
-    k = jnp.asarray(k / k.sum())
-    pad = [(radius, radius), (0, 0)]
-    v = jnp.pad(img, pad, mode="edge")
-    v = jnp.einsum("k,kij->ij", k, jnp.stack([v[i : i + img.shape[0]] for i in range(2 * radius + 1)]))
-    h = jnp.pad(v, [(0, 0), (radius, radius)], mode="edge")
-    h = jnp.einsum("k,kij->ij", k, jnp.stack([h[:, i : i + img.shape[1]] for i in range(2 * radius + 1)]))
-    return h
+    """Separable Gaussian blur via banded matmuls (reference blurs before
+    descriptor sampling)."""
+    by = jnp.asarray(_blur_matrix(img.shape[0], sigma, radius))
+    bx = jnp.asarray(_blur_matrix(img.shape[1], sigma, radius))
+    return jnp.einsum("ih,hw,jw->ij", by, img, bx, precision=_FAST_DOT)
+
+
+# ---------------------------------------------------------------------------
+# detection
+# ---------------------------------------------------------------------------
 
 
 def fast_score(img: jax.Array) -> jax.Array:
@@ -160,20 +214,12 @@ def detect_level(
     raw response, implemented as a score bonus instead of a second FAST pass.
     """
     H, W = img_l.shape
-    s = fast_score(img_l)
-    s = _nms3(s)
-    # border mask
-    ys = jnp.arange(H)[:, None]
-    xs = jnp.arange(W)[None, :]
-    inb = (ys >= BORDER) & (ys < H - BORDER) & (xs >= BORDER) & (xs < W - BORDER)
-    s = jnp.where(inb, s, 0.0)
-    # two-tier: score 0 below min threshold; +1000 bonus above the high one
-    passed = s > min_th_fast
-    rank = jnp.where(passed, s + jnp.where(s > th_fast, 1000.0, 0.0), 0.0)
+    from .kernels.fast import fast_nms_rank
 
+    s = fast_nms_rank(img_l, float(min_th_fast), float(th_fast), BORDER)
     # per-cell top-k
     Hc, Wc = -(-H // cell), -(-W // cell)
-    padded = jnp.zeros((Hc * cell, Wc * cell), s.dtype).at[:H, :W].set(rank)
+    padded = jnp.zeros((Hc * cell, Wc * cell), s.dtype).at[:H, :W].set(s)
     cells = padded.reshape(Hc, cell, Wc, cell).transpose(0, 2, 1, 3).reshape(
         Hc * Wc, cell * cell
     )
@@ -192,15 +238,42 @@ def detect_level(
     return uv, score, valid
 
 
+# ---------------------------------------------------------------------------
+# patch extraction / orientation / descriptors as matmuls
+# ---------------------------------------------------------------------------
+
+
+def _patch_onehots(uv: jax.Array, H: int, W: int):
+    """Row/column one-hot selectors for 31x31 patches: ([N,31,H], [N,31,W])."""
+    y0 = jnp.clip(uv[:, 1].astype(jnp.int32) - PATCH_R, 0, H - PATCH)
+    x0 = jnp.clip(uv[:, 0].astype(jnp.int32) - PATCH_R, 0, W - PATCH)
+    N = uv.shape[0]
+    off = jnp.arange(PATCH, dtype=jnp.int32)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (N, PATCH, H), 2)
+    ohy = (hh == (y0[:, None] + off)[:, :, None]).astype(jnp.float32)
+    ww = jax.lax.broadcasted_iota(jnp.int32, (N, PATCH, W), 2)
+    ohx = (ww == (x0[:, None] + off)[:, :, None]).astype(jnp.float32)
+    return ohy, ohx
+
+
 def _gather_patches(img: jax.Array, uv: jax.Array) -> jax.Array:
-    """Extract 31x31 patches centered on integer keypoints: [N, 31, 31]."""
+    """31x31 patches centered on integer keypoints: [N, 31, 31].
 
-    def one(p):
-        y0 = jnp.clip(p[1].astype(jnp.int32) - PATCH_R, 0, img.shape[0] - PATCH)
-        x0 = jnp.clip(p[0].astype(jnp.int32) - PATCH_R, 0, img.shape[1] - PATCH)
-        return jax.lax.dynamic_slice(img, (y0, x0), (PATCH, PATCH))
+    One-hot einsum formulation: each patch row/column selection rides the MXU
+    instead of TPU-hostile vmap'd dynamic slices (same clamping semantics).
+    """
+    ohy, ohx = _patch_onehots(uv, img.shape[0], img.shape[1])
+    rows = jnp.einsum("nph,hw->npw", ohy, img, precision=_FAST_DOT)
+    return jnp.einsum("npw,nqw->npq", rows, ohx, precision=_FAST_DOT)
 
-    return jax.vmap(one)(uv)
+
+def _gather_patches2(img_a: jax.Array, img_b: jax.Array, uv: jax.Array):
+    """Patches from two same-shape images at shared keypoints (one-hot reuse)."""
+    ohy, ohx = _patch_onehots(uv, img_a.shape[0], img_a.shape[1])
+    both = jnp.stack([img_a, img_b])  # [2, H, W]
+    rows = jnp.einsum("nph,chw->ncpw", ohy, both, precision=_FAST_DOT)
+    pat = jnp.einsum("ncpw,nqw->ncpq", rows, ohx, precision=_FAST_DOT)
+    return pat[:, 0], pat[:, 1]
 
 
 def compute_orientation(patches: jax.Array) -> jax.Array:
@@ -210,27 +283,59 @@ def compute_orientation(patches: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
+@functools.lru_cache(maxsize=None)
+def _desc_compare_matrix() -> np.ndarray:
+    """[(N_ANGLE_BINS * 256), 961] {-1,0,+1} comparison operator.
+
+    Row (b*256 + s) computes blur_patch[p2_rot] - blur_patch[p1_rot] for
+    pattern pair s rotated by bin angle b; bit s = (result > 0), identical to
+    comparing the two rotated samples (reference: computeOrbDescriptor with
+    the ORB paper's 12-deg precomputed pattern tables).
+    """
+    D = np.zeros((N_ANGLE_BINS * 256, PATCH * PATCH), np.float32)
+    x = _PATTERN[..., 0]  # [256, 2]
+    y = _PATTERN[..., 1]
+    for b in range(N_ANGLE_BINS):
+        a = 2.0 * np.pi * b / N_ANGLE_BINS
+        c, s = np.cos(a), np.sin(a)
+        xi = np.clip(np.round(x * c - y * s) + PATCH_R, 0, PATCH - 1).astype(int)
+        yi = np.clip(np.round(x * s + y * c) + PATCH_R, 0, PATCH - 1).astype(int)
+        flat = yi * PATCH + xi  # [256, 2]
+        rows = b * 256 + np.arange(256)
+        # bit = (sample0 < sample1)  ==  (patch[p1] - patch[p0] > 0)
+        np.add.at(D, (rows, flat[:, 1]), 1.0)
+        np.add.at(D, (rows, flat[:, 0]), -1.0)
+    return D
+
+
+_BIT_WEIGHTS = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
+
+
 def compute_descriptors(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
     """Rotated binary descriptors from blurred patches: u32[N, 8].
 
-    Rotates the sampling pattern by each keypoint's angle (steered BRIEF, as
-    the reference's computeOrbDescriptor) and compares the 256 point pairs.
+    Steered BRIEF with the angle discretized to 30 bins of 12 deg (the ORB
+    paper's lookup-table scheme): all 30 rotated comparison sets evaluate as
+    ONE [N, 961] x [961, 30*256] matmul (bf16 operands, f32 accumulation —
+    a bit flips only when the two blurred samples differ by < ~1 intensity
+    unit, which is below the sensor noise the descriptor already tolerates),
+    then the keypoint's bin is picked by a one-hot contraction.
     """
     N = patches_blur.shape[0]
-    pat = jnp.asarray(_PATTERN)  # [256, 2, 2] (pair, point, xy)
-    c, s = jnp.cos(angle), jnp.sin(angle)
-    # rotate: x' = x c - y s ; y' = x s + y c
-    x = pat[None, ..., 0]  # [1, 256, 2]
-    y = pat[None, ..., 1]
-    xr = jnp.round(x * c[:, None, None] - y * s[:, None, None])
-    yr = jnp.round(x * s[:, None, None] + y * c[:, None, None])
-    xi = jnp.clip(xr + PATCH_R, 0, PATCH - 1).astype(jnp.int32)
-    yi = jnp.clip(yr + PATCH_R, 0, PATCH - 1).astype(jnp.int32)
-    flat_idx = (yi * PATCH + xi).reshape(N, -1)  # [N, 512]
-    flat_patch = patches_blur.reshape(N, -1)
-    samples = jnp.take_along_axis(flat_patch, flat_idx, axis=1).reshape(N, 256, 2)
-    bits = (samples[..., 0] < samples[..., 1]).astype(jnp.uint32)  # [N, 256]
-    weights = jnp.asarray(1 << np.arange(32, dtype=np.uint64), jnp.uint32)
+    D = jnp.asarray(_desc_compare_matrix().T.astype(jnp.bfloat16))  # [961, B*256]
+    flat = patches_blur.reshape(N, PATCH * PATCH).astype(jnp.bfloat16)
+    s_all = jax.lax.dot(
+        flat, D, preferred_element_type=jnp.float32
+    ).reshape(N, N_ANGLE_BINS, 256)
+    # angle -> nearest bin (12 deg wrap)
+    bin_f = angle * (N_ANGLE_BINS / (2.0 * np.pi))
+    bins = jnp.mod(jnp.round(bin_f).astype(jnp.int32), N_ANGLE_BINS)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, N_ANGLE_BINS), 1) == bins[:, None]
+    ).astype(jnp.float32)
+    s = jnp.einsum("nbs,nb->ns", s_all, onehot, precision=_FAST_DOT)
+    bits = (s > 0.0).astype(jnp.uint32)  # [N, 256]
+    weights = jnp.asarray(_BIT_WEIGHTS)
     return jnp.einsum(
         "nkb,b->nk", bits.reshape(N, 8, 32), weights, preferred_element_type=jnp.uint32
     )
@@ -240,8 +345,9 @@ def compute_descriptors(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
 def extract_features_batch(imgs: jax.Array, cfg: EngineConfig) -> FrameArrays:
     """Batched frontend: f32[B, H, W] -> FrameArrays with leading batch dim.
 
-    One dispatch for B frames — per-dispatch overhead on the TPU tunnel is
-    the throughput bottleneck, not the extraction itself (KERNELS.md).
+    One dispatch for B frames — per-dispatch + transfer overhead on the TPU
+    tunnel is a throughput bottleneck alongside the extraction itself
+    (KERNELS.md).
     """
     return jax.vmap(lambda im: extract_features(im, cfg))(imgs)
 
@@ -261,31 +367,33 @@ def extract_features(img: jax.Array, cfg: EngineConfig) -> FrameArrays:
     img = img.astype(jnp.float32)
     pyr = build_pyramid(img, cfg)
     counts = features_per_level(cfg)
-    all_uv, all_score, all_valid, all_oct, all_ang, all_desc = [], [], [], [], [], []
+    all_uv, all_score, all_valid, all_oct = [], [], [], []
+    all_praw, all_pblur = [], []
     for l in range(cfg.n_levels):
         img_l = pyr[l]
         uv, score, valid = detect_level(
             img_l, counts[l], float(cfg.ini_th_fast), float(cfg.min_th_fast)
         )
-        patches = _gather_patches(img_l, uv)
-        angle = compute_orientation(patches)
         blur_l = gaussian_blur(img_l)
-        patches_b = _gather_patches(blur_l, uv)
-        desc = compute_descriptors(patches_b, angle)
+        praw, pblur = _gather_patches2(img_l, blur_l, uv)
         scale = jnp.float32(cfg.scale_factor**l)
         all_uv.append(uv * scale)
         all_score.append(score)
         all_valid.append(valid)
         all_oct.append(jnp.full((uv.shape[0],), l, jnp.int32))
-        all_ang.append(angle)
-        all_desc.append(desc)
+        all_praw.append(praw)
+        all_pblur.append(pblur)
 
     uv = jnp.concatenate(all_uv)
     score = jnp.concatenate(all_score)
     valid = jnp.concatenate(all_valid)
     octv = jnp.concatenate(all_oct)
-    ang = jnp.concatenate(all_ang)
-    desc = jnp.concatenate(all_desc)
+    # orientation + descriptors once over all levels (one big MXU matmul
+    # amortizes the 30-bin comparison table read across the whole frame)
+    praw = jnp.concatenate(all_praw)
+    pblur = jnp.concatenate(all_pblur)
+    ang = compute_orientation(praw)
+    desc = compute_descriptors(pblur, ang)
 
     F = cfg.max_features
     n = uv.shape[0]

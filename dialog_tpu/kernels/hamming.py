@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import on_tpu, round_up
+from .common import interpret_mode, round_up, use_pallas
 
 BLOCK_N = 128          # rows per program
 CHUNK_M = 512          # B-side columns processed per inner step
@@ -152,7 +152,7 @@ def hamming_best2(
         oct_a = jnp.zeros((N,), jnp.int32)
         oct_b = jnp.zeros((M,), jnp.int32)
 
-    if not on_tpu():
+    if not use_pallas():
         return _reference(
             desc_a, desc_b, valid_a, valid_b, uv_a, uv_b, radius2, radius2_cols,
             oct_a, oct_b, octave_band,
@@ -191,6 +191,7 @@ def hamming_best2(
             jax.ShapeDtypeStruct((Np // BLOCK_N, BLOCK_N), jnp.int32),
             jax.ShapeDtypeStruct((Np // BLOCK_N, BLOCK_N), jnp.int32),
         ],
+        interpret=interpret_mode(),
     )(
         pad(desc_a, Np), pad(desc_b, Mp).reshape(nch, CHUNK_M, 8),
         pad(uv_a, Np), pad(uv_b, Mp).reshape(nch, CHUNK_M, 2),
