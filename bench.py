@@ -37,7 +37,7 @@ def main() -> None:
         width=640, height=480, n_features=1000, max_features=1024,
         max_keyframes=256, max_landmarks=16384, max_local_lms=2048,
         max_local_kfs=16, max_fixed_kfs=16, max_obs_per_lm=8,
-        local_ba_iters=5, max_frames_between_kf=10,
+        local_ba_iters=5, max_frames_between_kf=30,
     )
     n_frames = 264
     scene = synth.make_scene(seed=3, n_points=2500, n_frames=n_frames, cfg=cfg)
@@ -70,6 +70,15 @@ def main() -> None:
     for i in range(8, warm_end, B):
         run_batch(i, occlude=(i == 48))
     eng.flush()
+    # compile the loop-detection path (dispatch + evaluate) explicitly: the
+    # organic warmup may end before kf_count crosses the detection threshold,
+    # and a first-time _pack_detect compile inside the timed region would be
+    # charged as ~0.5 s of fake frame time
+    if eng._vocab is not None:
+        eng._loop.dispatch(eng.m, eng._bow_db, eng._vocab, max(eng.kf_count - 1, 0))
+        det = eng._loop.take_pending()
+        if det is not None:
+            eng._loop.evaluate(det[0], np.asarray(det[1]), det[2])
     # ensure tracking is healthy before the timed region
     while eng.frame_id < warm_end + 2 * B and eng.state != "OK":
         i = eng.frame_id

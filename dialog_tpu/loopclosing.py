@@ -20,17 +20,23 @@ import numpy as np
 
 @jax.jit
 def _pack_detect(m, bow_db, cur_kf):
-    """BoW scores vs all KFs + covisibility row + validity, one array."""
+    """BoW scores vs all KFs + covisibility row + validity (one vector), plus
+    the boolean covisibility-adjacency matrix the host consistency check
+    needs. Both are D2H-copied asynchronously at dispatch time so the later
+    evaluate() never pays the tunnel RTT (KERNELS.md: a blocking pull costs
+    ~32 ms; an async copy resolved a batch later costs ~0)."""
     from . import vocab as _vocab
 
     scores = _vocab.bow_l1_scores(bow_db[cur_kf], bow_db)
-    return jnp.concatenate(
+    vec = jnp.concatenate(
         [
             scores,
             m.covis[cur_kf].astype(jnp.float32),
             m.kfs.valid.astype(jnp.float32),
         ]
     )
+    neigh = (m.covis > 0) & m.kfs.valid[None, :]
+    return vec, neigh.astype(jnp.uint8)
 
 from . import geometry as geo
 from . import matching
@@ -71,15 +77,16 @@ class LoopCloser:
     # --- detection (reference: LoopClosing::DetectLoop) -----------------
 
     def dispatch(self, m: MapState, bow_db, vocab, cur_kf: int) -> None:
-        """Queue detection for `cur_kf` (device work only, no pull)."""
+        """Queue detection for `cur_kf` (device work only, no blocking pull)."""
         if (
             bow_db is not None
             and vocab is not None
             and cur_kf - self._last_loop_kf >= 10
         ):
-            self._pending_detect = (
-                cur_kf, _pack_detect(m, bow_db, jnp.int32(cur_kf)), m.covis
-            )
+            vec, neigh = _pack_detect(m, bow_db, jnp.int32(cur_kf))
+            vec.copy_to_host_async()
+            neigh.copy_to_host_async()
+            self._pending_detect = (cur_kf, vec, neigh)
 
     def take_pending(self) -> tuple[int, jax.Array, jax.Array] | None:
         """Hand the pending detection to a caller that will pull it fused
@@ -98,11 +105,14 @@ class LoopCloser:
         return prev[0], self.evaluate(prev[0], np.asarray(prev[1]), prev[2])
 
     def evaluate(
-        self, cur_kf: int, packed: np.ndarray, covis_dev: jax.Array
+        self, cur_kf: int, packed: np.ndarray, neigh_mat
     ) -> list[int]:
-        """Host-side candidate gating on an already-pulled detection vector."""
+        """Host-side candidate gating on an already-pulled detection vector.
+
+        `neigh_mat` is the uint8 [K, K] covisibility-adjacency matrix from
+        _pack_detect (already host-resident via the async copy)."""
         cfg = self.cfg
-        K = covis_dev.shape[0]
+        K = neigh_mat.shape[0]
         scores = packed[:K].copy()
         covis_row = packed[K : 2 * K]
         kf_valid = packed[2 * K :] > 0.5
@@ -120,7 +130,7 @@ class LoopCloser:
         # 3-consecutive-KF covisibility consistency (reference gate)
         accepted = []
         new_groups: list[tuple[set[int], int]] = []
-        covis_np = np.asarray(covis_dev) if len(cands) else None
+        covis_np = np.asarray(neigh_mat) if len(cands) else None
         for c in cands:
             group = set(np.nonzero((covis_np[int(c)] > 0) & kf_valid)[0])
             group.add(int(c))

@@ -109,6 +109,14 @@ class Engine:
         self._ref_kf_dev = None   # cached device copy (H2D puts are not free)
         self._true_dev = jnp.asarray(True)
         self.pipeline_depth = 3
+        # batch-mode pipeline depth: how many batches stay in flight after a
+        # dispatch before the host resolves the oldest. The packed result is
+        # copied device->host asynchronously at dispatch time; with depth>=1
+        # the tunnel RTT (~32 ms on axon) is hidden behind the next batch's
+        # wall time instead of stalling every resolve. Mapping consequently
+        # lags tracking by `batch_depth` batches — the reference's async
+        # LocalMapping-thread semantics (canonical src/LocalMapping.cc).
+        self.batch_depth = 1
 
     # ------------------------------------------------------------------
     # public API
@@ -193,6 +201,7 @@ class Engine:
             "has_vel": self._true_dev,
             "lm_ids": lm_ids_d,
         }
+        packed.copy_to_host_async()
         self._pending.append(
             (frame, timestamp, self.frame_id, self.ref_kf, R_d, t_d, lm_ids_d, packed)
         )
@@ -224,16 +233,14 @@ class Engine:
                         out += self.track_batch(rest, timestamps[b + 1 :])
                     return out
             return out
-        # resolve the in-flight batch BEFORE dispatching this one: its device
-        # work finished while the host prepared this batch, so this costs no
-        # pipelining — and any keyframe it creates lands in the map this
-        # batch tracks against (launching first leaves tracking 2 batches
-        # behind mapping, which starves it on fast camera sweeps)
+        # keep at most `batch_depth` batches in flight: dispatch THIS batch
+        # first, then resolve the oldest. Dispatch-before-resolve gives the
+        # oldest batch's async D2H copy a full batch interval to complete, so
+        # the resolve's host read is (near-)free instead of paying the tunnel
+        # RTT. Keyframes created at resolve land `batch_depth` batches late —
+        # bounded staleness the scan-carried associations tolerate (and the
+        # reference's async mapping thread exhibits the same lag).
         out = []
-        if self._pending_b:
-            out = self._resolve_batch()
-            if self.state != OK:
-                return out + self.track_batch(frames, timestamps)
         cfg = self.cfg
         use_st = cfg.sensor != Sensor.MONOCULAR and cfg.bf > 0
         dev = self._dev_state
@@ -259,16 +266,21 @@ class Engine:
         }
         fids = list(range(self.frame_id, self.frame_id + B))
         self.frame_id += B
-        # fuse the pending loop-detection vector into this batch's packed
-        # pull: each separate device->host pull pays the full tunnel
-        # completion latency, so piggyback it on the transfer we make anyway
+        # the pending loop detection (if any) carries its own async-copied
+        # arrays; it is evaluated when this batch resolves, by which point
+        # its transfer has long completed
         det = self._loop.take_pending() if self.loop_closing_enabled else None
         pull = packed.reshape(-1)
-        if det is not None:
-            pull = jnp.concatenate([pull, det[1]])
+        # start the D2H copy now; it proceeds as soon as the batch's compute
+        # finishes, overlapping the host's next-batch prep + later dispatches
+        pull.copy_to_host_async()
         self._pending_b.append(
             (frames, list(timestamps), fids, self.ref_kf, lm_l, pull, det)
         )
+        while len(self._pending_b) > self.batch_depth:
+            out += self._resolve_batch()
+            if self.state != OK:
+                break
         return out
 
     def _resolve_batch(self):
@@ -355,11 +367,11 @@ class Engine:
             self._update_bow_row(slot)
             # dispatch-only: the detection vector rides the NEXT batch's pull
             self._detect_and_close_loop(slot, dispatch_only=True)
-        # evaluate the detection fused into THIS batch's pull (dispatched at
-        # an earlier keyframe; its device work is long done)
+        # evaluate the detection dispatched at an earlier keyframe; its
+        # device work and async D2H copies are long done by now
         if det is not None:
             det_kf = det[0]
-            cands = self._loop.evaluate(det_kf, V[B * 26 :], det[2])
+            cands = self._loop.evaluate(det_kf, np.asarray(det[1]), det[2])
             self._close_loop_from(det_kf, cands)
         return out
 
