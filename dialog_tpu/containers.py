@@ -78,6 +78,9 @@ class KeyframeStore(NamedTuple):
     frame_id: jax.Array   # i32[K]      source frame index
     timestamp: jax.Array  # f64[K]
     parent: jax.Array     # i32[K]      spanning-tree parent (-1 = root)
+    seq: jax.Array        # i32[K]      monotonic insertion number (slot reuse
+                          #             makes slot indices non-monotonic; age
+                          #             tests must use seq, never slots)
 
 
 class LandmarkStore(NamedTuple):

@@ -349,21 +349,37 @@ def extract_features_batch(imgs: jax.Array, cfg: EngineConfig) -> FrameArrays:
     tunnel is a throughput bottleneck alongside the extraction itself
     (KERNELS.md).
     """
-    return jax.vmap(lambda im: extract_features(im, cfg))(imgs)
+    if imgs.shape[1:] != (cfg.height, cfg.width):
+        raise ValueError(
+            f"image batch shape {imgs.shape} does not match config "
+            f"({cfg.height}, {cfg.width})"
+        )
+    return jax.vmap(lambda im: _extract_one(im, cfg))(imgs)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_features(img: jax.Array, cfg: EngineConfig) -> FrameArrays:
     """Full frontend: f32[H, W] grayscale in [0, 255] -> FrameArrays.
 
     Keypoint uv is in level-0 (full-resolution) pixel coordinates; octave is
     the pyramid level; desc is the packed 256-bit descriptor.
+
+    Implemented as the B=1 case of ``extract_features_batch``: XLA compiles
+    the vmapped graph in ~18 s, while the identical un-vmapped graph was
+    measured at 800+ s of compile time on the TPU toolchain (the per-level
+    banded matmuls trigger a pathological fusion search when the arrays
+    carry no batch dimension).
     """
     if img.shape != (cfg.height, cfg.width):
         raise ValueError(
             f"image shape {img.shape} does not match config "
             f"({cfg.height}, {cfg.width})"
         )
+    batch = extract_features_batch(img[None], cfg)
+    return jax.tree_util.tree_map(lambda x: x[0], batch)
+
+
+def _extract_one(img: jax.Array, cfg: EngineConfig) -> FrameArrays:
+    """Frontend body for one image (always invoked under vmap — see above)."""
     img = img.astype(jnp.float32)
     pyr = build_pyramid(img, cfg)
     counts = features_per_level(cfg)

@@ -109,14 +109,6 @@ class Engine:
         self._ref_kf_dev = None   # cached device copy (H2D puts are not free)
         self._true_dev = jnp.asarray(True)
         self.pipeline_depth = 3
-        # batch-mode pipeline depth: how many batches stay in flight after a
-        # dispatch before the host resolves the oldest. The packed result is
-        # copied device->host asynchronously at dispatch time; with depth>=1
-        # the tunnel RTT (~32 ms on axon) is hidden behind the next batch's
-        # wall time instead of stalling every resolve. Mapping consequently
-        # lags tracking by `batch_depth` batches — the reference's async
-        # LocalMapping-thread semantics (canonical src/LocalMapping.cc).
-        self.batch_depth = 1
 
     # ------------------------------------------------------------------
     # public API
@@ -221,26 +213,34 @@ class Engine:
         """
         B = len(timestamps)
         if self.state != OK or self._last_lm_ids is None:
+            # per-frame until healthy; the NEXT full batch re-enters batched
+            # mode. (Never call track_batch on a partial batch: every distinct
+            # batch length compiles its own fused_track_multi.)
             self.flush()
             out = []
             for b in range(B):
                 fb = jax.tree_util.tree_map(lambda x: x[b], frames)
                 out.append(self.track_features(fb, float(timestamps[b])))
-                if self.state == OK:
-                    # switch to batched mode for the remainder
-                    rest = jax.tree_util.tree_map(lambda x: x[b + 1 :], frames)
-                    if B - b - 1 > 0:
-                        out += self.track_batch(rest, timestamps[b + 1 :])
-                    return out
             return out
-        # keep at most `batch_depth` batches in flight: dispatch THIS batch
-        # first, then resolve the oldest. Dispatch-before-resolve gives the
-        # oldest batch's async D2H copy a full batch interval to complete, so
-        # the resolve's host read is (near-)free instead of paying the tunnel
-        # RTT. Keyframes created at resolve land `batch_depth` batches late —
-        # bounded staleness the scan-carried associations tolerate (and the
-        # reference's async mapping thread exhibits the same lag).
+        # resolve the in-flight batch BEFORE dispatching this one. Its packed
+        # result started a D2H copy at dispatch time, so by now (a full batch
+        # interval later) the host read is (near-)free — the RTT hiding of a
+        # deeper pipeline without its staleness: any keyframe the resolve
+        # creates lands in the map THIS batch tracks against. Tracking
+        # robustness showed measurably worse when mapping lagged two batches
+        # (fast sweeps starve the motion-model search of fresh landmarks).
         out = []
+        if self._pending_b:
+            out = self._resolve_batch()
+            if self.state != OK:
+                # recovery: route this batch through the per-frame path
+                # (relocalization). Never recurse into track_batch with a
+                # shorter batch — each distinct batch length compiles its
+                # own fused_track_multi (tens of seconds on TPU).
+                for b in range(B):
+                    fb = jax.tree_util.tree_map(lambda x: x[b], frames)
+                    out.append(self.track_features(fb, float(timestamps[b])))
+                return out
         cfg = self.cfg
         use_st = cfg.sensor != Sensor.MONOCULAR and cfg.bf > 0
         dev = self._dev_state
@@ -277,10 +277,6 @@ class Engine:
         self._pending_b.append(
             (frames, list(timestamps), fids, self.ref_kf, lm_l, pull, det)
         )
-        while len(self._pending_b) > self.batch_depth:
-            out += self._resolve_batch()
-            if self.state != OK:
-                break
         return out
 
     def _resolve_batch(self):
@@ -307,29 +303,30 @@ class Engine:
             out.append(rec)
             self._last_R, self._last_t = rec.R, np.asarray(p[9:12])
         if lost_at is not None:
-            for b in range(lost_at, len(ts_list)):
-                rec = FrameRecord(
-                    frame_id=fids[b], timestamp=ts_list[b],
-                    R=self._last_R, t=self._last_t,
-                    state=LOST, n_tracked=0, ref_kf=ref_launch,
-                )
-                self.trajectory.append(rec)
-                out.append(rec)
-            # in-flight batches were computed against pre-loss state:
-            # record every frame rather than silently dropping them
-            for fr2, ts2, fid2, ref2, _, _, _ in self._pending_b:
-                for b in range(len(ts2)):
-                    rec = FrameRecord(
-                        frame_id=fid2[b], timestamp=ts2[b],
-                        R=self._last_R, t=self._last_t,
-                        state=LOST, n_tracked=0, ref_kf=ref2,
-                    )
-                    self.trajectory.append(rec)
-                    out.append(rec)
+            # tracking failed mid-batch: collect the frames computed against
+            # the now-stale state (the rest of this batch plus any deeper
+            # in-flight batches) and RE-TRACK them through the per-frame
+            # path — state LOST routes each through relocalization instead
+            # of blanket-recording them lost (reference: Tracking::Track's
+            # per-frame Relocalization attempt)
+            retrack = [
+                (jax.tree_util.tree_map(lambda x: x[b], frames), ts_list[b], fids[b])
+                for b in range(lost_at, len(ts_list))
+            ]
+            for fr2, ts2, fid2, _, _, _, _ in self._pending_b:
+                retrack += [
+                    (jax.tree_util.tree_map(lambda x: x[b], fr2), ts2[b], fid2[b])
+                    for b in range(len(ts2))
+                ]
             self._pending_b.clear()
             self._dev_state = None
             self.state = LOST
             self._vel = None
+            fid_after = self.frame_id
+            for fb, ts_b, fid_b in retrack:
+                self.frame_id = fid_b
+                out.append(self.track_features(fb, float(ts_b)))
+            self.frame_id = fid_after
             return out
         # keyframe decision: the batch's LAST frame is the only candidate —
         # its pose and feature->landmark associations (lm_l) are mutually
