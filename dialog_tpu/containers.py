@@ -129,6 +129,7 @@ def empty_map(cfg: EngineConfig) -> MapState:
         frame_id=jnp.full((K,), INVALID_ID, jnp.int32),
         timestamp=jnp.zeros((K,), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
         parent=jnp.full((K,), INVALID_ID, jnp.int32),
+        seq=jnp.full((K,), INVALID_ID, jnp.int32),
     )
     lms = LandmarkStore(
         xyz=jnp.zeros((L, 3), jnp.float32),

@@ -61,6 +61,9 @@ def insert_keyframe(
         frame_id=kfs.frame_id.at[slot].set(frame_id),
         timestamp=kfs.timestamp.at[slot].set(timestamp),
         parent=kfs.parent.at[slot].set(parent),
+        # monotonic insertion number: slot indices stop being age-ordered
+        # once culling frees slots for reuse, so recency tests key on seq
+        seq=kfs.seq.at[slot].set(jnp.max(kfs.seq) + 1),
     )
     m = m._replace(kfs=kfs, num_kfs=jnp.maximum(m.num_kfs, slot + 1))
     # refresh per-landmark observation counts for this KF's associations
