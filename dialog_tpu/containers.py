@@ -94,8 +94,9 @@ class LandmarkStore(NamedTuple):
     normal: jax.Array     # f32[L, 3]   mean viewing direction
     dmin: jax.Array       # f32[L]      scale-invariance distance band
     dmax: jax.Array       # f32[L]
-    ref_kf: jax.Array     # i32[L]
-    first_kf: jax.Array   # i32[L]
+    ref_kf: jax.Array     # i32[L]     creating keyframe SLOT (indexes kfs)
+    first_seq: jax.Array  # i32[L]     creating keyframe's insertion number
+                          #            (slot-reuse-safe age reference)
     n_obs: jax.Array      # i32[L]      number of observing keyframes
     n_visible: jax.Array  # i32[L]      times predicted visible (found-ratio)
     n_found: jax.Array    # i32[L]      times actually matched
@@ -138,7 +139,7 @@ def empty_map(cfg: EngineConfig) -> MapState:
         dmin=jnp.zeros((L,), jnp.float32),
         dmax=jnp.full((L,), jnp.inf, jnp.float32),
         ref_kf=jnp.full((L,), INVALID_ID, jnp.int32),
-        first_kf=jnp.full((L,), INVALID_ID, jnp.int32),
+        first_seq=jnp.full((L,), INVALID_ID, jnp.int32),
         n_obs=jnp.zeros((L,), jnp.int32),
         n_visible=jnp.zeros((L,), jnp.int32),
         n_found=jnp.zeros((L,), jnp.int32),
@@ -175,6 +176,45 @@ def free_lm_slots(m: MapState, n: int) -> jax.Array:
 
 def lm_capacity_left(m: MapState) -> jax.Array:
     return jnp.sum(~m.lms.valid).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Keyframe bookkeeping snapshot (host slot allocator + trajectory re-anchor)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def pack_map_meta(m: MapState) -> jax.Array:
+    """Keyframe bookkeeping as ONE f32 vector: [valid | parent | seq | R | t].
+
+    The host's keyframe-slot freelist and the culled-KF trajectory re-anchor
+    (reference: KeyFrame::SetBadFlag storing mTcp + SaveTrajectoryTUM's
+    bad-keyframe parent walk) consume this; it rides the per-batch async D2H
+    pull so slot recycling never adds a blocking transfer.
+    """
+    K = m.kfs.valid.shape[0]
+    return jnp.concatenate(
+        [
+            m.kfs.valid.astype(jnp.float32),
+            m.kfs.parent.astype(jnp.float32),
+            m.kfs.seq.astype(jnp.float32),
+            m.kfs.R.reshape(K * 9),
+            m.kfs.t.reshape(K * 3),
+        ]
+    )
+
+
+def parse_map_meta(meta, K: int):
+    """Host-side inverse of pack_map_meta -> (valid, parent, seq, R, t)."""
+    import numpy as np
+
+    meta = np.asarray(meta)
+    valid = meta[:K] > 0.5
+    parent = meta[K : 2 * K].astype(np.int32)
+    seq = meta[2 * K : 3 * K].astype(np.int32)
+    R = meta[3 * K : 12 * K].reshape(K, 3, 3)
+    t = meta[12 * K : 15 * K].reshape(K, 3)
+    return valid, parent, seq, R, t
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,9 @@ def _pack_detect(m, bow_db, cur_kf):
             scores,
             m.covis[cur_kf].astype(jnp.float32),
             m.kfs.valid.astype(jnp.float32),
+            # insertion numbers: slot indices stop being age-ordered once
+            # culled slots are recycled, so the "too recent" gate keys on seq
+            m.kfs.seq.astype(jnp.float32),
         ]
     )
     neigh = (m.covis > 0) & m.kfs.valid[None, :]
@@ -67,45 +70,60 @@ class LoopCloser:
         # list of (group_set, count) from previous keyframes
         self._consistent: list[tuple[set[int], int]] = []
         self.closed_loops: list[tuple[int, int]] = []
-        self._last_loop_kf = -(10**9)
+        # monotonic insertion stamps (kf_count at dispatch), NOT slot ids:
+        # slot recycling makes slot numbers unusable for "how long ago"
+        self._last_loop_stamp = -(10**9)
+        self._eval_stamp = -(10**9)
         # detection dispatched at the previous keyframe, evaluated at the
         # next one (reference: LoopClosing runs on its own thread, one KF
         # behind; here the lag hides the device->host pull behind a full
         # keyframe of tracking instead of stalling the resolve path)
-        self._pending_detect: tuple[int, jax.Array, jax.Array] | None = None
+        self._pending_detect: tuple[int, jax.Array, jax.Array, int] | None = None
 
     # --- detection (reference: LoopClosing::DetectLoop) -----------------
 
-    def dispatch(self, m: MapState, bow_db, vocab, cur_kf: int) -> None:
-        """Queue detection for `cur_kf` (device work only, no blocking pull)."""
+    def dispatch(
+        self, m: MapState, bow_db, vocab, cur_kf: int, stamp: int | None = None
+    ) -> None:
+        """Queue detection for `cur_kf` (device work only, no blocking pull).
+
+        `stamp` is a monotonic insertion counter (the engine's kf_count);
+        it gates the post-closure cooldown. Defaults to `cur_kf` for callers
+        that never recycle slots."""
+        if stamp is None:
+            stamp = cur_kf
         if (
             bow_db is not None
             and vocab is not None
-            and cur_kf - self._last_loop_kf >= 10
+            and stamp - self._last_loop_stamp >= 10
         ):
             vec, neigh = _pack_detect(m, bow_db, jnp.int32(cur_kf))
             vec.copy_to_host_async()
             neigh.copy_to_host_async()
-            self._pending_detect = (cur_kf, vec, neigh)
+            self._pending_detect = (cur_kf, vec, neigh, stamp)
 
-    def take_pending(self) -> tuple[int, jax.Array, jax.Array] | None:
+    def take_pending(self) -> tuple[int, jax.Array, jax.Array, int] | None:
         """Hand the pending detection to a caller that will pull it fused
         with another transfer (the batch resolve path)."""
         prev = self._pending_detect
         self._pending_detect = None
         return prev
 
-    def detect(self, m: MapState, bow_db, vocab, cur_kf: int) -> tuple[int, list[int]]:
+    def detect(
+        self, m: MapState, bow_db, vocab, cur_kf: int, stamp: int | None = None
+    ) -> tuple[int, list[int]]:
         """Dispatch detection for `cur_kf`; evaluate + return the previous
         keyframe's detection as (that_kf, candidate_slots)."""
         prev = self.take_pending()
-        self.dispatch(m, bow_db, vocab, cur_kf)
+        self.dispatch(m, bow_db, vocab, cur_kf, stamp=stamp)
         if prev is None:
             return -1, []
-        return prev[0], self.evaluate(prev[0], np.asarray(prev[1]), prev[2])
+        return prev[0], self.evaluate(
+            prev[0], np.asarray(prev[1]), prev[2], stamp=prev[3]
+        )
 
     def evaluate(
-        self, cur_kf: int, packed: np.ndarray, neigh_mat
+        self, cur_kf: int, packed: np.ndarray, neigh_mat, stamp: int | None = None
     ) -> list[int]:
         """Host-side candidate gating on an already-pulled detection vector.
 
@@ -113,17 +131,20 @@ class LoopCloser:
         _pack_detect (already host-resident via the async copy)."""
         cfg = self.cfg
         K = neigh_mat.shape[0]
+        self._eval_stamp = stamp if stamp is not None else cur_kf
         scores = packed[:K].copy()
         covis_row = packed[K : 2 * K]
-        kf_valid = packed[2 * K :] > 0.5
+        kf_valid = packed[2 * K : 3 * K] > 0.5
+        seq = packed[3 * K : 4 * K]
         neighbors = (covis_row > 0) & kf_valid
         scores[~kf_valid] = -1.0
         scores[cur_kf] = -1.0
         # min score among covisible neighbors defines the gate
         neigh_scores = scores[neighbors & (covis_row >= 15)]
         min_score = float(neigh_scores.min()) if len(neigh_scores) else 0.3
-        # candidates: non-neighbors above the gate, not too recent
-        recent = np.arange(len(scores)) > cur_kf - 8
+        # candidates: non-neighbors above the gate, not inserted too recently
+        # (by insertion number, not slot index — slots are recycled)
+        recent = seq > seq[cur_kf] - 8
         cand_mask = (scores >= max(min_score, 0.05)) & ~neighbors & ~recent
         cands = np.nonzero(cand_mask)[0]
 
@@ -234,6 +255,6 @@ class LoopCloser:
         m = update_covis_for_kf(m, jnp.int32(cur_kf))
         m = update_covis_for_kf(m, jnp.int32(loop.cand_kf))
         self.closed_loops.append((cur_kf, loop.cand_kf))
-        self._last_loop_kf = cur_kf
+        self._last_loop_stamp = self._eval_stamp
         self._consistent = []
         return m

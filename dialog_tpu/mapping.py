@@ -108,7 +108,9 @@ def alloc_landmarks(
         dmin=lms.dmin.at[slot_of].set(cam_dist * scale / lev_factor, mode="drop"),
         dmax=lms.dmax.at[slot_of].set(cam_dist * scale, mode="drop"),
         ref_kf=lms.ref_kf.at[slot_of].set(ref_kf, mode="drop"),
-        first_kf=lms.first_kf.at[slot_of].set(ref_kf, mode="drop"),
+        # age reference is the creating KF's insertion number, not its slot
+        # (slots are recycled after culling; seq is monotonic)
+        first_seq=lms.first_seq.at[slot_of].set(m.kfs.seq[ref_kf], mode="drop"),
         n_obs=lms.n_obs.at[slot_of].set(0, mode="drop"),
         n_visible=lms.n_visible.at[slot_of].set(1, mode="drop"),
         n_found=lms.n_found.at[slot_of].set(1, mode="drop"),
@@ -485,12 +487,13 @@ def cull_landmarks(m: MapState, cur_kf: jax.Array, cfg: EngineConfig) -> MapStat
     ratio = lms.n_found.astype(jnp.float32) / jnp.maximum(
         lms.n_visible.astype(jnp.float32), 1.0
     )
-    age = cur_kf - lms.first_kf
+    cur_seq = m.kfs.seq[cur_kf]
+    age = cur_seq - lms.first_seq
     bad = lms.valid & (
         (ratio < 0.25) | ((age >= 2) & (lms.n_obs <= 2))
     )
     # keep points the current KF just created
-    bad = bad & (lms.first_kf != cur_kf)
+    bad = bad & (lms.first_seq != cur_seq)
     lms = lms._replace(valid=lms.valid & ~bad)
     # clear dangling observations
     K, F = m.kfs.obs_lm.shape

@@ -11,6 +11,7 @@ to the host.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import Optional
 
@@ -28,6 +29,8 @@ from .containers import (
     FrameArrays,
     MapState,
     empty_map,
+    pack_map_meta,
+    parse_map_meta,
     save_map,
 )
 from .frontend import extract_features
@@ -109,6 +112,16 @@ class Engine:
         self._ref_kf_dev = None   # cached device copy (H2D puts are not free)
         self._true_dev = jnp.asarray(True)
         self.pipeline_depth = 3
+        # --- keyframe slot recycling (reference: KeyFrame::SetBadFlag
+        # returns capacity) --------------------------------------------
+        # host view of which slots hold live keyframes; refreshed from the
+        # per-batch device snapshot (pack_map_meta) which lags allocation by
+        # one batch, so slots the host allocated since ride a recency deque
+        self._kf_valid_host = np.zeros(cfg.max_keyframes, bool)
+        self._recent_kf_allocs: collections.deque[int] = collections.deque(maxlen=4)
+        # trajectory records indexed by their anchor slot, so observing a
+        # keyframe cull re-anchors only the affected records
+        self._recs_by_ref: dict[int, list[FrameRecord]] = {}
 
     # ------------------------------------------------------------------
     # public API
@@ -147,7 +160,7 @@ class Engine:
             rec = self._initialize(frame, timestamp)
         else:
             rec = self._track(frame, timestamp)
-        self.trajectory.append(rec)
+        self._append_record(rec)
         self.frame_id += 1
         return rec
 
@@ -271,16 +284,22 @@ class Engine:
         # its transfer has long completed
         det = self._loop.take_pending() if self.loop_closing_enabled else None
         pull = packed.reshape(-1)
-        # start the D2H copy now; it proceeds as soon as the batch's compute
-        # finishes, overlapping the host's next-batch prep + later dispatches
+        # keyframe bookkeeping snapshot from the same map this batch tracks
+        # against; feeds the host slot freelist + cull re-anchoring
+        meta = pack_map_meta(self.m)
+        # start the D2H copies now; they proceed as soon as the batch's
+        # compute finishes, overlapping the host's next-batch prep
         pull.copy_to_host_async()
+        meta.copy_to_host_async()
         self._pending_b.append(
-            (frames, list(timestamps), fids, self.ref_kf, lm_l, pull, det)
+            (frames, list(timestamps), fids, self.ref_kf, lm_l, pull, det, meta)
         )
         return out
 
     def _resolve_batch(self):
-        frames, ts_list, fids, ref_launch, lm_l, pull, det = self._pending_b.pop(0)
+        frames, ts_list, fids, ref_launch, lm_l, pull, det, meta = (
+            self._pending_b.pop(0)
+        )
         cfg = self.cfg
         B = len(ts_list)
         V = np.asarray(pull)                   # ONE pull per batch
@@ -299,9 +318,13 @@ class Engine:
                 state=OK, n_tracked=n_tracked, ref_kf=ref_launch,
                 R_rel=p[12:21].reshape(3, 3), t_rel=p[21:24],
             )
-            self.trajectory.append(rec)
+            self._append_record(rec)
             out.append(rec)
             self._last_R, self._last_t = rec.R, np.asarray(p[9:12])
+        # fold the keyframe bookkeeping snapshot (taken at this batch's
+        # dispatch) into the host slot view; re-anchors culled-KF records
+        kv, kp, _ks, kR, kt = parse_map_meta(meta, cfg.max_keyframes)
+        self._observe_kf_meta(kv, kp, kR, kt)
         if lost_at is not None:
             # tracking failed mid-batch: collect the frames computed against
             # the now-stale state (the rest of this batch plus any deeper
@@ -313,7 +336,7 @@ class Engine:
                 (jax.tree_util.tree_map(lambda x: x[b], frames), ts_list[b], fids[b])
                 for b in range(lost_at, len(ts_list))
             ]
-            for fr2, ts2, fid2, _, _, _, _ in self._pending_b:
+            for fr2, ts2, fid2, _, _, _, _, _ in self._pending_b:
                 retrack += [
                     (jax.tree_util.tree_map(lambda x: x[b], fr2), ts2[b], fid2[b])
                     for b in range(len(ts2))
@@ -336,9 +359,11 @@ class Engine:
         self._last_lm_ids = lm_l
         self._last_frame = None
         self.state = OK
+        slot = None
         if self._need_keyframe(int(counts[b_best]), fid=fids[b_best]):
+            slot = self._alloc_kf_slot()
+        if slot is not None:
             frame_b = jax.tree_util.tree_map(lambda x: x[b_best], frames)
-            slot = self.kf_count
             self.m = mapping.process_new_keyframe(
                 self.m, frame_b,
                 jnp.asarray(P[b_best, :9].reshape(3, 3)),
@@ -349,7 +374,7 @@ class Engine:
                 spawn_depth=cfg.sensor != Sensor.MONOCULAR,
                 n_neighbors=cfg.kf_tri_neighbors,
             )
-            if slot >= 2:
+            if self.kf_count >= 2:
                 from .optim.local_ba import local_bundle_adjustment
 
                 self.m = local_bundle_adjustment(
@@ -368,7 +393,9 @@ class Engine:
         # device work and async D2H copies are long done by now
         if det is not None:
             det_kf = det[0]
-            cands = self._loop.evaluate(det_kf, np.asarray(det[1]), det[2])
+            cands = self._loop.evaluate(
+                det_kf, np.asarray(det[1]), det[2], stamp=det[3]
+            )
             self._close_loop_from(det_kf, cands)
         return out
 
@@ -396,11 +423,11 @@ class Engine:
                 frame_id=fid, timestamp=ts, R=self._last_R, t=self._last_t,
                 state=LOST, n_tracked=0, ref_kf=ref_launch,
             )
-            self.trajectory.append(rec)
+            self._append_record(rec)
             # in-flight frames were computed against pre-loss state: record
             # them as LOST rather than silently skipping them
             for d_ts, d_fid, d_ref in dropped:
-                self.trajectory.append(
+                self._append_record(
                     FrameRecord(
                         frame_id=d_fid, timestamp=d_ts, R=self._last_R,
                         t=self._last_t, state=LOST, n_tracked=0, ref_kf=d_ref,
@@ -414,13 +441,15 @@ class Engine:
             state=OK, n_tracked=n_tracked, ref_kf=ref_launch,
             R_rel=p[12:21].reshape(3, 3), t_rel=p[21:24],
         )
-        self.trajectory.append(rec)
+        self._append_record(rec)
         self._last_R, self._last_t = R_cur, t_cur
         self._last_frame = frame
         self._last_lm_ids = lm_ids_d
         self.state = OK
+        slot = None
         if self._need_keyframe(n_tracked, fid=fid):
-            slot = self.kf_count
+            slot = self._alloc_kf_slot()
+        if slot is not None:
             self.m = mapping.process_new_keyframe(
                 self.m, frame, R_d, t_d, lm_ids_d,
                 jnp.int32(fid), jnp.float32(ts),
@@ -428,7 +457,7 @@ class Engine:
                 spawn_depth=cfg.sensor != Sensor.MONOCULAR,
                 n_neighbors=cfg.kf_tri_neighbors,
             )
-            if slot >= 2:
+            if self.kf_count >= 2:
                 from .optim.local_ba import local_bundle_adjustment
 
                 # dispatched asynchronously; later steps consume the refined
@@ -494,9 +523,14 @@ class Engine:
         self.m = load_map(self.cfg, path)
         valid = np.asarray(self.m.kfs.valid)
         self.kf_count = int(np.asarray(self.m.num_kfs))
+        self._kf_valid_host = valid.copy()
+        self._recent_kf_allocs.clear()
         alive = np.nonzero(valid)[0]
         if len(alive):
-            last = int(alive[-1])
+            # newest surviving keyframe by insertion number (slots are
+            # recycled, so the highest slot index is not the newest KF)
+            seq = np.asarray(self.m.kfs.seq)
+            last = int(alive[np.argmax(seq[alive])])
             self.ref_kf = last
             self._last_R = np.asarray(self.m.kfs.R[last])
             self._last_t = np.asarray(self.m.kfs.t[last])
@@ -527,6 +561,8 @@ class Engine:
         self._vel = None
         self._vocab = None
         self._bow_db = None
+        self._kf_valid_host = np.zeros(self.cfg.max_keyframes, bool)
+        self._recent_kf_allocs.clear()
         from .loopclosing import LoopCloser
 
         self._loop = LoopCloser(self.cfg)
@@ -593,6 +629,98 @@ class Engine:
             R_rel=R_rel,
             t_rel=t_rel,
         )
+
+    # --- keyframe slot recycling ---------------------------------------
+    # The reference frees a culled KeyFrame's memory (KeyFrame::SetBadFlag);
+    # here "memory" is a fixed-capacity slot, so the host runs a freelist
+    # over the device validity mask. Culling happens on device inside
+    # process_new_keyframe; the host learns of it from the map-meta snapshot
+    # that rides each batch pull (or a blocking refresh on the per-frame
+    # path) and re-anchors trajectory records of the culled keyframe to its
+    # spanning-tree parent (reference: SaveTrajectoryTUM's bad-KF walk).
+
+    def _append_record(self, rec: FrameRecord) -> None:
+        self.trajectory.append(rec)
+        if rec.ref_kf >= 0:
+            self._recs_by_ref.setdefault(rec.ref_kf, []).append(rec)
+
+    def _kf_slot_view(self) -> np.ndarray:
+        """Occupied-slot mask: last device snapshot + host allocs since."""
+        mask = self._kf_valid_host.copy()
+        for s in self._recent_kf_allocs:
+            mask[s] = True
+        return mask
+
+    def _has_free_kf_slot(self) -> bool:
+        return bool((~self._kf_slot_view()).any())
+
+    def _alloc_kf_slot(self) -> int | None:
+        """First free keyframe slot, or None when the map is at capacity."""
+        free = np.nonzero(~self._kf_slot_view())[0]
+        if len(free) == 0:
+            return None
+        slot = int(free[0])
+        self._recent_kf_allocs.append(slot)
+        self._kf_valid_host[slot] = True
+        return slot
+
+    def _mark_kf_slot(self, slot: int) -> None:
+        """Register a slot the engine wrote outside _alloc_kf_slot (init)."""
+        self._recent_kf_allocs.append(slot)
+        self._kf_valid_host[slot] = True
+
+    def _observe_kf_meta(self, valid, parent, R, t) -> None:
+        """Fold a device keyframe snapshot into the host slot view and
+        re-anchor trajectory records whose reference keyframe was culled.
+
+        A record stores T_cr with T_cw = T_cr o T_rw; when r is culled we
+        compose T_cp = T_cr o (T_rw o T_pw^-1) against r's spanning-tree
+        parent p using poses from the SAME snapshot (the culled slot's pose
+        data is intact until the host reuses the slot). Reference:
+        KeyFrame::SetBadFlag stores mTcp for exactly this walk.
+        """
+        recent = set(self._recent_kf_allocs)
+        newly_dead = [
+            s
+            for s in np.nonzero(self._kf_valid_host & ~valid)[0]
+            if s not in recent
+        ]
+        self._kf_valid_host = valid.copy()
+        for s in self._recent_kf_allocs:
+            self._kf_valid_host[s] = True
+        for s in newly_dead:
+            s = int(s)
+            recs = self._recs_by_ref.pop(s, [])
+            p = int(parent[s])
+            if p < 0 or not self._kf_valid_host[p]:
+                # orphaned: bake the absolute pose (gauge anchors 0/1 are
+                # never culled, so this is a pathological-map fallback)
+                for rec in recs:
+                    if rec.R_rel is None:
+                        continue
+                    rec.R = rec.R_rel @ R[s]
+                    rec.t = rec.R_rel @ t[s] + rec.t_rel
+                    rec.ref_kf, rec.R_rel, rec.t_rel = -1, None, None
+                continue
+            R_rp = R[s] @ R[p].T
+            t_rp = t[s] - R_rp @ t[p]
+            keep = self._recs_by_ref.setdefault(p, [])
+            for rec in recs:
+                if rec.R_rel is None:
+                    rec.ref_kf = p
+                else:
+                    rec.t_rel = rec.R_rel @ t_rp + rec.t_rel
+                    rec.R_rel = rec.R_rel @ R_rp
+                    rec.ref_kf = p
+                keep.append(rec)
+
+    def _refresh_kf_meta_blocking(self) -> None:
+        """Per-frame-path snapshot: one blocking pull right after keyframe
+        processing (the batch path piggybacks this on the batch pull)."""
+        valid, parent, _seq, R, t = parse_map_meta(
+            pack_map_meta(self.m), self.cfg.max_keyframes
+        )
+        self._observe_kf_meta(valid, parent, R, t)
 
     # --- monocular initialization (reference: MonocularInitialization) ---
 
@@ -664,6 +792,8 @@ class Engine:
         )
         self.m = m
         self.kf_count = 2
+        self._mark_kf_slot(0)
+        self._mark_kf_slot(1)
         self.ref_kf = 1
         self.last_kf_frame_id = self.frame_id
         self.state = OK
@@ -695,6 +825,7 @@ class Engine:
         m = mapping.spawn_depth_landmarks(m, jnp.int32(0), cfg)
         self.m = m
         self.kf_count = 1
+        self._mark_kf_slot(0)
         self.ref_kf = 0
         self.last_kf_frame_id = self.frame_id
         self.state = OK
@@ -795,8 +926,8 @@ class Engine:
         )
         # backfill BoW rows for existing keyframes
         self._bow_db = jnp.zeros((K, self.cfg.vocab_words), jnp.float32)
-        for k in range(self.kf_count):
-            self._update_bow_row(k)
+        for k in np.nonzero(self._kf_slot_view())[0]:
+            self._update_bow_row(int(k))
 
     def _update_bow_row(self, slot: int):
         from . import vocab as _vocab
@@ -869,7 +1000,17 @@ class Engine:
     def _need_keyframe(self, n_tracked: int, fid: int | None = None) -> bool:
         if self.localization_only:
             return False
-        if self.kf_count >= self.cfg.max_keyframes:
+        if not self._has_free_kf_slot():
+            # at capacity: culling normally runs inside keyframe processing,
+            # which a full map can no longer reach — run a standalone cull
+            # pass so redundancy keeps freeing slots (no monotonic hard stop)
+            self.m = mapping.cull_keyframes(
+                self.m, jnp.int32(self.ref_kf), self.cfg
+            )
+            if not self._pending_b and not self._pending:
+                # sync path has no piggybacked snapshot to learn the freed
+                # slot from — refresh now (batch mode reads the next pull)
+                self._refresh_kf_meta_blocking()
             return False
         fid = self.frame_id if fid is None else fid
         if self._pending:
@@ -901,7 +1042,9 @@ class Engine:
 
     def _create_keyframe(self, frame, ts, R, t, lm_ids, n_tracked):
         cfg = self.cfg
-        slot = self.kf_count
+        slot = self._alloc_kf_slot()
+        if slot is None:
+            return
         self.m = mapping.process_new_keyframe(
             self.m, frame, R, t, lm_ids,
             jnp.int32(self.frame_id), jnp.float32(ts),
@@ -909,7 +1052,7 @@ class Engine:
             spawn_depth=cfg.sensor != Sensor.MONOCULAR,
             n_neighbors=cfg.kf_tri_neighbors,
         )
-        if slot >= 2:
+        if self.kf_count >= 2:
             from .optim.local_ba import local_bundle_adjustment
 
             self.m = local_bundle_adjustment(
@@ -929,6 +1072,9 @@ class Engine:
         self._ensure_vocab()
         self._update_bow_row(slot)
         self._detect_and_close_loop(slot)
+        # learn of any keyframe the processing chain culled (sync path has
+        # no piggybacked snapshot); re-anchors that KF's trajectory records
+        self._refresh_kf_meta_blocking()
 
     def _detect_and_close_loop(self, slot: int, dispatch_only: bool = False):
         """Per-keyframe loop detection/closure (reference: LoopClosing::Run)."""
@@ -941,9 +1087,13 @@ class Engine:
         if dispatch_only:
             # batch mode: queue the detection; its vector is pulled fused
             # with the next batch's packed result and evaluated there
-            self._loop.dispatch(self.m, self._bow_db, self._vocab, slot)
+            self._loop.dispatch(
+                self.m, self._bow_db, self._vocab, slot, stamp=self.kf_count
+            )
             return
-        det_kf, cands = self._loop.detect(self.m, self._bow_db, self._vocab, slot)
+        det_kf, cands = self._loop.detect(
+            self.m, self._bow_db, self._vocab, slot, stamp=self.kf_count
+        )
         self._close_loop_from(det_kf, cands)
 
     def _close_loop_from(self, det_kf: int, cands) -> None:
