@@ -76,6 +76,7 @@ class EngineConfig:
 
     # --- tracking --------------------------------------------------------
     motion_search_radius: float = 15.0
+    view_cos_th: float = 0.5      # isInFrustum viewing-angle gate (cos 60°)
     min_inliers_track: int = 10
     min_inliers_local: int = 30
     kf_tracked_ratio: float = 0.9

@@ -81,6 +81,15 @@ class KeyframeStore(NamedTuple):
     seq: jax.Array        # i32[K]      monotonic insertion number (slot reuse
                           #             makes slot indices non-monotonic; age
                           #             tests must use seq, never slots)
+    # cull-time record (reference: KeyFrame::SetBadFlag stores mTcp): the
+    # relative transform T_rp = T_rw o T_pw^-1 to the spanning-tree parent,
+    # captured ON DEVICE at the moment of culling. Trajectory re-anchoring
+    # composes against this instead of a (possibly stale) host snapshot —
+    # later BA/pose-graph moves of the parent then propagate correctly.
+    cull_parent: jax.Array  # i32[K]    parent at cull time (-1 = never culled)
+    cull_seq: jax.Array     # i32[K]    seq of the culled KF (stale-slot guard)
+    cull_R: jax.Array       # f32[K, 3, 3]  R of T_rp at cull time
+    cull_t: jax.Array       # f32[K, 3]     t of T_rp at cull time
 
 
 class LandmarkStore(NamedTuple):
@@ -131,6 +140,10 @@ def empty_map(cfg: EngineConfig) -> MapState:
         timestamp=jnp.zeros((K,), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
         parent=jnp.full((K,), INVALID_ID, jnp.int32),
         seq=jnp.full((K,), INVALID_ID, jnp.int32),
+        cull_parent=jnp.full((K,), INVALID_ID, jnp.int32),
+        cull_seq=jnp.full((K,), INVALID_ID, jnp.int32),
+        cull_R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3)).copy(),
+        cull_t=jnp.zeros((K, 3), jnp.float32),
     )
     lms = LandmarkStore(
         xyz=jnp.zeros((L, 3), jnp.float32),
@@ -200,21 +213,41 @@ def pack_map_meta(m: MapState) -> jax.Array:
             m.kfs.seq.astype(jnp.float32),
             m.kfs.R.reshape(K * 9),
             m.kfs.t.reshape(K * 3),
+            m.kfs.cull_parent.astype(jnp.float32),
+            m.kfs.cull_seq.astype(jnp.float32),
+            m.kfs.cull_R.reshape(K * 9),
+            m.kfs.cull_t.reshape(K * 3),
         ]
     )
 
 
+class MapMeta:
+    """Host-side view of pack_map_meta (one attribute per packed field)."""
+
+    __slots__ = (
+        "valid", "parent", "seq", "R", "t",
+        "cull_parent", "cull_seq", "cull_R", "cull_t",
+    )
+
+    def __init__(self, meta, K: int):
+        import numpy as np
+
+        meta = np.asarray(meta)
+        self.valid = meta[:K] > 0.5
+        self.parent = meta[K : 2 * K].astype(np.int32)
+        self.seq = meta[2 * K : 3 * K].astype(np.int32)
+        self.R = meta[3 * K : 12 * K].reshape(K, 3, 3)
+        self.t = meta[12 * K : 15 * K].reshape(K, 3)
+        self.cull_parent = meta[15 * K : 16 * K].astype(np.int32)
+        self.cull_seq = meta[16 * K : 17 * K].astype(np.int32)
+        self.cull_R = meta[17 * K : 26 * K].reshape(K, 3, 3)
+        self.cull_t = meta[26 * K : 29 * K].reshape(K, 3)
+
+
 def parse_map_meta(meta, K: int):
     """Host-side inverse of pack_map_meta -> (valid, parent, seq, R, t)."""
-    import numpy as np
-
-    meta = np.asarray(meta)
-    valid = meta[:K] > 0.5
-    parent = meta[K : 2 * K].astype(np.int32)
-    seq = meta[2 * K : 3 * K].astype(np.int32)
-    R = meta[3 * K : 12 * K].reshape(K, 3, 3)
-    t = meta[12 * K : 15 * K].reshape(K, 3)
-    return valid, parent, seq, R, t
+    mm = MapMeta(meta, K)
+    return mm.valid, mm.parent, mm.seq, mm.R, mm.t
 
 
 # ---------------------------------------------------------------------------

@@ -122,13 +122,24 @@ def main() -> None:
         results[nd] = (time.perf_counter() - t0) / 5.0
         print(f"devices={nd}: {results[nd]*1e3:.1f} ms / LM iteration", flush=True)
     if len(sizes) == 2 and sizes[1] > 1:
-        eff = results[1] / (results[sizes[1]] * sizes[1])
-        print(json.dumps({
+        # NOTE: on a virtual CPU mesh "devices" share the same physical
+        # socket, so wall-clock cannot improve with device count — this
+        # efficiency number validates the sharded path + measures collective
+        # overhead, not real speedup (that needs real chips: the per-device
+        # work is 1/N of the landmark axis; see SURVEY.md §7.6)
+        record = {
             "metric": "global_ba_scaling_efficiency",
-            "value": round(eff, 3),
+            "value": round(results[1] / (results[sizes[1]] * sizes[1]), 3),
             "devices": sizes[1],
-            "n_cams": n_cams, "n_pts": n_pts,
-        }))
+            "n_cams": n_cams,
+            "n_pts": n_pts,
+            "backend": jax.default_backend(),
+            "ms_per_iter": {str(k): round(v * 1e3, 2) for k, v in results.items()},
+            "virtual_mesh": jax.default_backend() == "cpu",
+        }
+        print(json.dumps(record))
+        with open("SCALING.json", "w") as f:
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":

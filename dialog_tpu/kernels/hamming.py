@@ -76,17 +76,22 @@ def _kernel(band, a_ref, b_ref, uva_ref, uvb_ref, va_ref, vb_ref, r2r_ref,
             jnp.abs(octa[:, None] - octb[None, :]) <= band
         )
         ok = (va[:, None] > 0) & (vb[None, :] > 0) & sp_ok & oct_ok
-        # Mosaic's argmin lowering is f32-only; distances <= 257 are exact
-        df = jnp.where(ok, d, MAX_DIST).astype(jnp.float32)
-        cbest = jnp.min(df, axis=1).astype(jnp.int32)
-        carg = jnp.argmin(df, axis=1).astype(jnp.int32)
-        d2nd = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, CHUNK_M), 1)
-            == carg[:, None],
-            float(MAX_DIST),
-            df,
+        # Tie-break toward the LOWEST column index (matching jnp.argmin's
+        # first-occurrence semantics — Mosaic's chunked argmin does not):
+        # minimize the combined key dist*CHUNK_M + col. Distances <= 257 and
+        # CHUNK_M = 512 keep the key < 2^18, exact in f32 (Mosaic's min
+        # lowering is f32-only).
+        iota = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, CHUNK_M), 1)
+        key = jnp.where(ok, d, MAX_DIST).astype(jnp.float32) * float(
+            CHUNK_M
+        ) + iota.astype(jnp.float32)
+        kbest = jnp.min(key, axis=1)
+        cbest = jnp.floor(kbest / float(CHUNK_M)).astype(jnp.int32)
+        carg = kbest.astype(jnp.int32) - cbest * CHUNK_M
+        d2nd = jnp.where(iota == carg[:, None], float(MAX_DIST * CHUNK_M), key)
+        csecond = jnp.floor(jnp.min(d2nd, axis=1) / float(CHUNK_M)).astype(
+            jnp.int32
         )
-        csecond = jnp.min(d2nd, axis=1).astype(jnp.int32)
         carg = carg + c * CHUNK_M
         lo = jnp.minimum(best, cbest)
         hi = jnp.maximum(best, cbest)

@@ -51,11 +51,31 @@ def check_hamming(n=700, m=900, seed=0) -> dict:
     return results
 
 
+def check_fast(h=123, w=210, seed=1) -> dict:
+    from .fast import fast_nms_rank, _reference
+
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    results = {}
+    for name, (min_th, th_fast, border) in [
+        ("default", (7.0, 20.0, 19)),
+        ("low-th", (3.0, 10.0, 8)),
+    ]:
+        got = fast_nms_rank(img, min_th, th_fast, border)
+        want = _reference(img, min_th, th_fast, border)
+        results[name] = bool(jnp.array_equal(got, want))
+    return results
+
+
 def main() -> None:
     print("backend:", jax.default_backend())
     res = check_hamming()
     for k, v in res.items():
         print(f"hamming[{k}]: {'OK' if v else 'MISMATCH'}")
+    fres = check_fast()
+    for k, v in fres.items():
+        print(f"fast[{k}]: {'OK' if v else 'MISMATCH'}")
+    res.update({f"fast:{k}": v for k, v in fres.items()})
     assert all(res.values()), res
 
 

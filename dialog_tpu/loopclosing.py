@@ -74,6 +74,7 @@ class LoopCloser:
         # slot recycling makes slot numbers unusable for "how long ago"
         self._last_loop_stamp = -(10**9)
         self._eval_stamp = -(10**9)
+        self.last_eval_det_seq: int | None = None
         # detection dispatched at the previous keyframe, evaluated at the
         # next one (reference: LoopClosing runs on its own thread, one KF
         # behind; here the lag hides the device->host pull behind a full
@@ -111,9 +112,9 @@ class LoopCloser:
 
     def detect(
         self, m: MapState, bow_db, vocab, cur_kf: int, stamp: int | None = None
-    ) -> tuple[int, list[int]]:
+    ) -> tuple[int, list[tuple[int, int]]]:
         """Dispatch detection for `cur_kf`; evaluate + return the previous
-        keyframe's detection as (that_kf, candidate_slots)."""
+        keyframe's detection as (that_kf, [(candidate_slot, seq), ...])."""
         prev = self.take_pending()
         self.dispatch(m, bow_db, vocab, cur_kf, stamp=stamp)
         if prev is None:
@@ -124,18 +125,25 @@ class LoopCloser:
 
     def evaluate(
         self, cur_kf: int, packed: np.ndarray, neigh_mat, stamp: int | None = None
-    ) -> list[int]:
+    ) -> list[tuple[int, int]]:
         """Host-side candidate gating on an already-pulled detection vector.
 
         `neigh_mat` is the uint8 [K, K] covisibility-adjacency matrix from
-        _pack_detect (already host-resident via the async copy)."""
+        _pack_detect (already host-resident via the async copy). Returns
+        accepted candidates as (slot, insertion_seq) pairs: the detection is
+        evaluated one keyframe after dispatch, during which a candidate slot
+        can be culled AND recycled into a brand-new keyframe — callers must
+        drop any candidate whose current seq no longer matches."""
         cfg = self.cfg
         K = neigh_mat.shape[0]
         self._eval_stamp = stamp if stamp is not None else cur_kf
+        # dispatch-time insertion number of the detecting keyframe, so the
+        # caller can reject the whole detection if ITS slot was recycled
+        self.last_eval_det_seq = int(packed[3 * K + cur_kf])
         scores = packed[:K].copy()
         covis_row = packed[K : 2 * K]
         kf_valid = packed[2 * K : 3 * K] > 0.5
-        seq = packed[3 * K : 4 * K]
+        seq = packed[3 * K : 4 * K].astype(np.int64)
         neighbors = (covis_row > 0) & kf_valid
         scores[~kf_valid] = -1.0
         scores[cur_kf] = -1.0
@@ -148,20 +156,23 @@ class LoopCloser:
         cand_mask = (scores >= max(min_score, 0.05)) & ~neighbors & ~recent
         cands = np.nonzero(cand_mask)[0]
 
-        # 3-consecutive-KF covisibility consistency (reference gate)
+        # 3-consecutive-KF covisibility consistency (reference gate);
+        # groups are keyed on insertion numbers, never slot indices, so a
+        # recycled slot can't fake continuity with an unrelated group
         accepted = []
         new_groups: list[tuple[set[int], int]] = []
         covis_np = np.asarray(neigh_mat) if len(cands) else None
         for c in cands:
-            group = set(np.nonzero((covis_np[int(c)] > 0) & kf_valid)[0])
-            group.add(int(c))
+            group_slots = np.nonzero((covis_np[int(c)] > 0) & kf_valid)[0]
+            group = {int(seq[s]) for s in group_slots}
+            group.add(int(seq[c]))
             count = 1
             for prev_group, prev_count in self._consistent:
                 if group & prev_group:
                     count = max(count, prev_count + 1)
             new_groups.append((group, count))
             if count >= self.cfg.covis_consistency_th:
-                accepted.append(int(c))
+                accepted.append((int(c), int(seq[c])))
         self._consistent = new_groups
         return accepted
 

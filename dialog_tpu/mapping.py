@@ -64,6 +64,9 @@ def insert_keyframe(
         # monotonic insertion number: slot indices stop being age-ordered
         # once culling frees slots for reuse, so recency tests key on seq
         seq=kfs.seq.at[slot].set(jnp.max(kfs.seq) + 1),
+        # a recycled slot must not inherit the previous tenant's cull record
+        cull_parent=kfs.cull_parent.at[slot].set(INVALID_ID),
+        cull_seq=kfs.cull_seq.at[slot].set(INVALID_ID),
     )
     m = m._replace(kfs=kfs, num_kfs=jnp.maximum(m.num_kfs, slot + 1))
     # refresh per-landmark observation counts for this KF's associations
@@ -284,7 +287,7 @@ def fuse_landmarks_into_kf(
     ids_s = jnp.where(has, ids, L)
     R_d, t_d = kfs.R[dst_kf], kfs.t[dst_kf]
     xyz, desc, uv_pred, octv, vis = _tracking._project_landmarks(
-        m, ids_s, R_d, t_d, cfg
+        m, ids_s, R_d, t_d, cfg, frustum=True
     )
     from . import matching as _matching
 
@@ -340,6 +343,43 @@ def refresh_landmark_descriptors(m: MapState, slot: jax.Array, cfg: EngineConfig
     tgt = jnp.where(ok, obs, L)
     desc = m.lms.desc.at[tgt].set(m.kfs.desc[slot], mode="drop")
     return m._replace(lms=m.lms._replace(desc=desc))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def refresh_landmark_geometry(m: MapState, slot: jax.Array, cfg: EngineConfig) -> MapState:
+    """Update viewing normal + scale-invariance band for landmarks observed
+    by keyframe `slot`.
+
+    Reference: MapPoint::UpdateNormalAndDepth recomputes the mean viewing
+    direction over ALL observations and the distance band from the reference
+    observation. Here the normal blends toward the newest viewing ray (a
+    running-mean proxy: one gather/scatter instead of a per-point
+    observation walk) and the band re-anchors at the newest observation —
+    keeping both current as the camera circles the point, which is what the
+    isInFrustum gates in _project_landmarks consume.
+    """
+    lms = m.lms
+    L = lms.xyz.shape[0]
+    obs = m.kfs.obs_lm[slot]
+    ok = m.kfs.feat_valid[slot] & (obs >= 0)
+    safe = jnp.clip(obs, 0, L - 1)
+    tgt = jnp.where(ok, obs, L)
+    R, t = m.kfs.R[slot], m.kfs.t[slot]
+    cam = -R.T @ t
+    ray = lms.xyz[safe] - cam
+    dist = jnp.linalg.norm(ray, axis=-1)
+    rayn = ray / (dist[:, None] + 1e-12)
+    blend = 0.7 * lms.normal[safe] + 0.3 * rayn
+    blend = blend / (jnp.linalg.norm(blend, axis=-1, keepdims=True) + 1e-12)
+    scale = cfg.scale_factor ** m.kfs.octave[slot].astype(jnp.float32)
+    lev_factor = cfg.scale_factor ** (cfg.n_levels - 1)
+    dmax_new = dist * scale
+    lms = lms._replace(
+        normal=lms.normal.at[tgt].set(blend, mode="drop"),
+        dmax=lms.dmax.at[tgt].set(dmax_new, mode="drop"),
+        dmin=lms.dmin.at[tgt].set(dmax_new / lev_factor, mode="drop"),
+    )
+    return m._replace(lms=lms)
 
 
 def best_covisible(m: MapState, slot: int, n: int) -> list[int]:
@@ -406,8 +446,31 @@ def cull_keyframes(m: MapState, cur_kf: jax.Array, cfg: EngineConfig) -> MapStat
     obs_lm = jnp.where(clear, INVALID_ID, kfs.obs_lm)
     covis = m.covis
     covis = jnp.where(do, covis.at[best, :].set(0).at[:, best].set(0), covis)
+    # record T_rp = T_rw o T_pw^-1 against the parent AT CULL TIME (the
+    # reference's KeyFrame::SetBadFlag mTcp): trajectory re-anchoring on the
+    # host composes against this exact-relative transform, so parent-pose
+    # moves from later BA / loop closure propagate without error
+    safe_p = jnp.clip(parent_of_best, 0, K - 1)
+    R_rp = kfs.R[best] @ kfs.R[safe_p].T
+    t_rp = kfs.t[best] - R_rp @ kfs.t[safe_p]
+    cull_parent = kfs.cull_parent.at[best].set(
+        jnp.where(do, parent_of_best, kfs.cull_parent[best])
+    )
+    cull_seq = kfs.cull_seq.at[best].set(
+        jnp.where(do, kfs.seq[best], kfs.cull_seq[best])
+    )
+    cull_R = kfs.cull_R.at[best].set(
+        jnp.where(do, R_rp, kfs.cull_R[best])
+    )
+    cull_t = kfs.cull_t.at[best].set(
+        jnp.where(do, t_rp, kfs.cull_t[best])
+    )
     m = m._replace(
-        kfs=kfs._replace(valid=valid, parent=new_parent, obs_lm=obs_lm),
+        kfs=kfs._replace(
+            valid=valid, parent=new_parent, obs_lm=obs_lm,
+            cull_parent=cull_parent, cull_seq=cull_seq,
+            cull_R=cull_R, cull_t=cull_t,
+        ),
         covis=covis,
     )
     return recount_lm_obs(m)
@@ -471,6 +534,7 @@ def process_new_keyframe(
     m = recount_lm_obs(m)
     m = update_covis_for_kf(m, slot)
     m = refresh_landmark_descriptors(m, slot, cfg)
+    m = refresh_landmark_geometry(m, slot, cfg)
     m = cull_landmarks(m, slot, cfg)
     m = cull_keyframes(m, slot, cfg)
     return m
@@ -480,7 +544,9 @@ def process_new_keyframe(
 def cull_landmarks(m: MapState, cur_kf: jax.Array, cfg: EngineConfig) -> MapState:
     """Remove weak landmarks (reference: LocalMapping::MapPointCulling).
 
-    Culls points whose found/visible ratio is poor or that stayed
+    Culls points whose found/visible ratio is poor (checked only while the
+    point is young — the reference's mlpRecentAddedMapPoints window; old
+    points keep their tenure like the reference's) or that stayed
     under-observed several keyframes after creation.
     """
     lms = m.lms
@@ -490,7 +556,7 @@ def cull_landmarks(m: MapState, cur_kf: jax.Array, cfg: EngineConfig) -> MapStat
     cur_seq = m.kfs.seq[cur_kf]
     age = cur_seq - lms.first_seq
     bad = lms.valid & (
-        (ratio < 0.25) | ((age >= 2) & (lms.n_obs <= 2))
+        ((ratio < 0.25) & (age <= 3)) | ((age >= 2) & (lms.n_obs <= 2))
     )
     # keep points the current KF just created
     bad = bad & (lms.first_seq != cur_seq)

@@ -80,13 +80,17 @@ def build_global_problem(m: MapState, cfg: EngineConfig) -> BAProblem:
     )
 
 
-def shard_problem(prob: BAProblem, mesh: Mesh, axis: str = "data") -> BAProblem:
+def shard_problem(prob: BAProblem, mesh: Mesh, axis=None) -> BAProblem:
     """Place the landmark axis of the problem on the mesh; cameras replicated.
 
     XLA turns the scatter-adds into the replicated reduced camera system into
     cross-shard all-reduces over ICI — the 'pick a mesh, annotate shardings'
-    recipe rather than hand-written collectives.
+    recipe rather than hand-written collectives. By default landmarks shard
+    over ALL mesh axes flattened (works for both a flat ('data',) mesh and
+    the engine's ('hosts', 'chips') topology mesh).
     """
+    if axis is None:
+        axis = tuple(mesh.axis_names)
     lm_sharded = NamedSharding(mesh, P(axis))
     lm_sharded2 = NamedSharding(mesh, P(axis, None))
     lm_sharded3 = NamedSharding(mesh, P(axis, None, None))
@@ -117,4 +121,10 @@ def global_bundle_adjustment(
     if mesh is not None:
         prob = shard_problem(prob, mesh)
     R, t, xyz, _ = solve_ba(prob, cfg, iters=iters, chi2_th=cfg.chi2_mono)
+    if mesh is not None:
+        # bring results back to the map's device so the engine's map state
+        # never inherits a multi-device sharding from a loop-closure GBA
+        dev = jax.devices()[0]
+        prob = jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), prob)
+        R, t, xyz = jax.device_put((R, t, xyz), dev)
     return write_back(m, prob, R, t, xyz, cfg, chi2_th=cfg.chi2_mono)

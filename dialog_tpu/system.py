@@ -27,10 +27,10 @@ from .config import EngineConfig, Sensor
 from .containers import (
     INVALID_ID,
     FrameArrays,
+    MapMeta,
     MapState,
     empty_map,
     pack_map_meta,
-    parse_map_meta,
     save_map,
 )
 from .frontend import extract_features
@@ -103,6 +103,15 @@ class Engine:
         self._loop = LoopCloser(cfg)
         self.loop_closing_enabled = True
         self.localization_only = False
+        # multi-chip scaling axis (SURVEY.md §2.3): when more than one device
+        # is visible, global BA shards its landmark axis over this mesh; XLA
+        # inserts the cross-shard reductions (psum over ICI) when per-shard
+        # Schur contributions combine into the replicated camera system
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            from .distributed import make_mesh
+
+            self.mesh = make_mesh()
         # pipelined-tracking state (track_features_async); depth = how many
         # frames stay in flight before the host reads a result (larger hides
         # the tunnel completion latency; state decisions lag by this much)
@@ -115,10 +124,17 @@ class Engine:
         # --- keyframe slot recycling (reference: KeyFrame::SetBadFlag
         # returns capacity) --------------------------------------------
         # host view of which slots hold live keyframes; refreshed from the
-        # per-batch device snapshot (pack_map_meta) which lags allocation by
-        # one batch, so slots the host allocated since ride a recency deque
+        # per-batch / per-frame device snapshot (pack_map_meta) which lags
+        # allocation by the pipeline depth. Slots the host allocated since
+        # ride `_recent_kf_allocs` (slot -> expected insertion seq) until a
+        # snapshot that postdates the allocation (seq[slot] >= expected)
+        # confirms them — so a cull of a just-allocated keyframe is observed
+        # as soon as a fresh snapshot lands, never masked.
         self._kf_valid_host = np.zeros(cfg.max_keyframes, bool)
-        self._recent_kf_allocs: collections.deque[int] = collections.deque(maxlen=4)
+        self._recent_kf_allocs: dict[int, int] = {}
+        # host mirror of the device's monotonic insertion counter (device:
+        # insert_keyframe sets seq = max(seq)+1; starts at 0 on empty map)
+        self._seq_next = 0
         # trajectory records indexed by their anchor slot, so observing a
         # keyframe cull re-anchors only the affected records
         self._recs_by_ref: dict[int, list[FrameRecord]] = {}
@@ -195,11 +211,13 @@ class Engine:
             }
         if self._ref_kf_dev is None:
             self._ref_kf_dev = jnp.int32(self.ref_kf)
-        R_d, t_d, lm_ids_d, packed = tracking.fused_track_step_auto(
+        R_d, t_d, lm_ids_d, packed, counts = tracking.fused_track_step_auto(
             self.m, dev["lm_ids"], frame,
             dev["R"], dev["t"], dev["R_prev"], dev["t_prev"], dev["has_vel"],
             self._ref_kf_dev, cfg, use_stereo=use_st,
         )
+        # fold landmark visibility counters (device-side add, async)
+        self.m = tracking.apply_track_counts(self.m, counts)
         self._dev_state = {
             "R": R_d, "t": t_d,
             "R_prev": dev["R"], "t_prev": dev["t"],
@@ -207,8 +225,14 @@ class Engine:
             "lm_ids": lm_ids_d,
         }
         packed.copy_to_host_async()
+        # keyframe bookkeeping snapshot rides every per-frame pull too, so
+        # device keyframe culls are observed (slot freelist + trajectory
+        # re-anchor) without a blocking refresh on this path
+        meta = pack_map_meta(self.m)
+        meta.copy_to_host_async()
         self._pending.append(
-            (frame, timestamp, self.frame_id, self.ref_kf, R_d, t_d, lm_ids_d, packed)
+            (frame, timestamp, self.frame_id, self.ref_kf, R_d, t_d, lm_ids_d,
+             packed, meta)
         )
         self.frame_id += 1
         if len(self._pending) > self.pipeline_depth:
@@ -268,11 +292,13 @@ class Engine:
             }
         if self._ref_kf_dev is None:
             self._ref_kf_dev = jnp.int32(self.ref_kf)
-        R_l, t_l, R_p, t_p, lm_l, packed = tracking.fused_track_multi(
+        R_l, t_l, R_p, t_p, lm_l, packed, counts = tracking.fused_track_multi(
             self.m, dev["lm_ids"], frames,
             dev["R"], dev["t"], dev["R_prev"], dev["t_prev"], dev["has_vel"],
             self._ref_kf_dev, cfg, use_stereo=use_st,
         )
+        # fold the batch-summed landmark visibility counters (async add)
+        self.m = tracking.apply_track_counts(self.m, counts)
         self._dev_state = {
             "R": R_l, "t": t_l, "R_prev": R_p, "t_prev": t_p,
             "has_vel": self._true_dev, "lm_ids": lm_l,
@@ -323,8 +349,7 @@ class Engine:
             self._last_R, self._last_t = rec.R, np.asarray(p[9:12])
         # fold the keyframe bookkeeping snapshot (taken at this batch's
         # dispatch) into the host slot view; re-anchors culled-KF records
-        kv, kp, _ks, kR, kt = parse_map_meta(meta, cfg.max_keyframes)
-        self._observe_kf_meta(kv, kp, kR, kt)
+        self._observe_kf_meta(MapMeta(meta, cfg.max_keyframes))
         if lost_at is not None:
             # tracking failed mid-batch: collect the frames computed against
             # the now-stale state (the rest of this batch plus any deeper
@@ -408,9 +433,14 @@ class Engine:
         self._dev_state = None
 
     def _resolve_oldest(self):
-        frame, ts, fid, ref_launch, R_d, t_d, lm_ids_d, packed = self._pending.pop(0)
+        frame, ts, fid, ref_launch, R_d, t_d, lm_ids_d, packed, meta = (
+            self._pending.pop(0)
+        )
         cfg = self.cfg
         p = np.asarray(packed)
+        # fold the keyframe bookkeeping snapshot taken at this frame's
+        # dispatch (observes device culls; re-anchors affected records)
+        self._observe_kf_meta(MapMeta(meta, cfg.max_keyframes))
         n_tracked = int(p[24])
         if n_tracked < cfg.min_inliers_local:
             # tracking failed at this frame: drop in-flight work, go LOST
@@ -515,16 +545,34 @@ class Engine:
     def save_checkpoint(self, path: str) -> None:
         save_map(self.m, path)
 
+    def _bake_all_records(self) -> None:
+        """Convert every trajectory record to an absolute pose against the
+        CURRENT map, then drop the slot index. Called before the map is
+        discarded (reset / checkpoint load): records must not re-compose
+        against an unrelated future map occupying the same slots."""
+        kf_R = np.asarray(self.m.kfs.R)
+        kf_t = np.asarray(self.m.kfs.t)
+        for rec in self.trajectory:
+            if rec.ref_kf >= 0 and rec.R_rel is not None:
+                Rr, tr = kf_R[rec.ref_kf], kf_t[rec.ref_kf]
+                rec.R = rec.R_rel @ Rr
+                rec.t = rec.R_rel @ tr + rec.t_rel
+            rec.ref_kf, rec.R_rel, rec.t_rel = -1, None, None
+        self._recs_by_ref.clear()
+
     def load_checkpoint(self, path: str) -> None:
         """Resume from a saved map: host counters rebuild from array masks
         (reference has no map save/load at all — SURVEY.md §5)."""
         from .containers import load_map
 
+        self.flush()
+        self._bake_all_records()
         self.m = load_map(self.cfg, path)
         valid = np.asarray(self.m.kfs.valid)
         self.kf_count = int(np.asarray(self.m.num_kfs))
         self._kf_valid_host = valid.copy()
         self._recent_kf_allocs.clear()
+        self._seq_next = int(np.asarray(self.m.kfs.seq).max()) + 1
         alive = np.nonzero(valid)[0]
         if len(alive):
             # newest surviving keyframe by insertion number (slots are
@@ -547,6 +595,8 @@ class Engine:
 
     def reset(self) -> None:
         """Clear the map and start over (reference: System::Reset)."""
+        self.flush()
+        self._bake_all_records()
         self.m = empty_map(self.cfg)
         self.state = NOT_INITIALIZED
         self.kf_count = 0
@@ -563,6 +613,8 @@ class Engine:
         self._bow_db = None
         self._kf_valid_host = np.zeros(self.cfg.max_keyframes, bool)
         self._recent_kf_allocs.clear()
+        self._seq_next = 0
+        self._ref_kf_dev = None
         from .loopclosing import LoopCloser
 
         self._loop = LoopCloser(self.cfg)
@@ -660,50 +712,61 @@ class Engine:
         if len(free) == 0:
             return None
         slot = int(free[0])
-        self._recent_kf_allocs.append(slot)
-        self._kf_valid_host[slot] = True
+        self._mark_kf_slot(slot)
         return slot
 
     def _mark_kf_slot(self, slot: int) -> None:
-        """Register a slot the engine wrote outside _alloc_kf_slot (init)."""
-        self._recent_kf_allocs.append(slot)
+        """Register a slot the engine is about to insert a keyframe into.
+
+        Records the insertion number the device will assign, so a later
+        snapshot can be classified as pre- or post-allocation."""
+        self._recent_kf_allocs[slot] = self._seq_next
+        self._seq_next += 1
         self._kf_valid_host[slot] = True
 
-    def _observe_kf_meta(self, valid, parent, R, t) -> None:
+    def _observe_kf_meta(self, meta: "MapMeta") -> None:
         """Fold a device keyframe snapshot into the host slot view and
         re-anchor trajectory records whose reference keyframe was culled.
 
-        A record stores T_cr with T_cw = T_cr o T_rw; when r is culled we
-        compose T_cp = T_cr o (T_rw o T_pw^-1) against r's spanning-tree
-        parent p using poses from the SAME snapshot (the culled slot's pose
-        data is intact until the host reuses the slot). Reference:
-        KeyFrame::SetBadFlag stores mTcp for exactly this walk.
+        A record stores T_cr with T_cw = T_cr o T_rw; when r is culled the
+        device captured T_rp to its spanning-tree parent AT CULL TIME
+        (``cull_R/cull_t`` — the reference's KeyFrame::SetBadFlag mTcp), so
+        the re-anchor composes exact relative transforms and later BA /
+        loop-closure moves of the parent propagate without error. Chains of
+        simultaneous culls are walked through their cull records up to the
+        first keyframe the snapshot still shows alive.
         """
-        recent = set(self._recent_kf_allocs)
+        # retire host-side alloc entries the snapshot has caught up with
+        for s, expected in list(self._recent_kf_allocs.items()):
+            if meta.seq[s] >= expected:
+                del self._recent_kf_allocs[s]
+        pending = self._recent_kf_allocs
         newly_dead = [
-            s
-            for s in np.nonzero(self._kf_valid_host & ~valid)[0]
-            if s not in recent
+            int(s)
+            for s in np.nonzero(self._kf_valid_host & ~meta.valid)[0]
+            if int(s) not in pending
         ]
-        self._kf_valid_host = valid.copy()
-        for s in self._recent_kf_allocs:
+        self._kf_valid_host = meta.valid.copy()
+        for s in pending:
             self._kf_valid_host[s] = True
+
         for s in newly_dead:
-            s = int(s)
             recs = self._recs_by_ref.pop(s, [])
-            p = int(parent[s])
-            if p < 0 or not self._kf_valid_host[p]:
-                # orphaned: bake the absolute pose (gauge anchors 0/1 are
-                # never culled, so this is a pathological-map fallback)
+            if not recs:
+                continue
+            hop = self._chain_to_live(meta, s)
+            if hop is None:
+                # orphaned: bake the absolute pose from the snapshot (gauge
+                # anchors 0/1 are never culled, so this is a pathological-
+                # map fallback)
                 for rec in recs:
                     if rec.R_rel is None:
                         continue
-                    rec.R = rec.R_rel @ R[s]
-                    rec.t = rec.R_rel @ t[s] + rec.t_rel
+                    rec.R = rec.R_rel @ meta.R[s]
+                    rec.t = rec.R_rel @ meta.t[s] + rec.t_rel
                     rec.ref_kf, rec.R_rel, rec.t_rel = -1, None, None
                 continue
-            R_rp = R[s] @ R[p].T
-            t_rp = t[s] - R_rp @ t[p]
+            p, R_rp, t_rp = hop
             keep = self._recs_by_ref.setdefault(p, [])
             for rec in recs:
                 if rec.R_rel is None:
@@ -714,13 +777,37 @@ class Engine:
                     rec.ref_kf = p
                 keep.append(rec)
 
+    @staticmethod
+    def _chain_to_live(meta: "MapMeta", s: int):
+        """Walk cull records from dead slot ``s`` to a live ancestor.
+
+        Returns (anchor_slot, R_sp, t_sp) with T_sp = T_sw o T_pw^-1 at cull
+        time, composing through any ancestors culled in the same window, or
+        None when no record exists (orphan fallback applies)."""
+        if meta.cull_parent[s] < 0 or meta.cull_seq[s] != meta.seq[s]:
+            return None
+        p = int(meta.cull_parent[s])
+        R_sp = meta.cull_R[s]
+        t_sp = meta.cull_t[s]
+        for _ in range(meta.valid.shape[0]):
+            if p < 0:
+                return None
+            if meta.valid[p]:
+                return p, R_sp, t_sp
+            if meta.cull_parent[p] < 0 or meta.cull_seq[p] != meta.seq[p]:
+                return None
+            # T_s->pp = T_s->p o T_p->pp
+            t_sp = R_sp @ meta.cull_t[p] + t_sp
+            R_sp = R_sp @ meta.cull_R[p]
+            p = int(meta.cull_parent[p])
+        return None
+
     def _refresh_kf_meta_blocking(self) -> None:
-        """Per-frame-path snapshot: one blocking pull right after keyframe
-        processing (the batch path piggybacks this on the batch pull)."""
-        valid, parent, _seq, R, t = parse_map_meta(
-            pack_map_meta(self.m), self.cfg.max_keyframes
+        """Synchronous-path snapshot: one blocking pull right after keyframe
+        processing (the pipelined paths piggyback this on their async pulls)."""
+        self._observe_kf_meta(
+            MapMeta(pack_map_meta(self.m), self.cfg.max_keyframes)
         )
-        self._observe_kf_meta(valid, parent, R, t)
 
     # --- monocular initialization (reference: MonocularInitialization) ---
 
@@ -863,11 +950,12 @@ class Engine:
         t_pred = jnp.asarray(t_pred)
 
         use_st = cfg.sensor != Sensor.MONOCULAR and cfg.bf > 0
-        R_cur_d, t_cur_d, lm_ids, packed = tracking.fused_track_step(
+        R_cur_d, t_cur_d, lm_ids, packed, counts = tracking.fused_track_step(
             self.m, self._last_lm_ids, frame, R_pred, t_pred,
             jnp.asarray(self._last_R), jnp.asarray(self._last_t),
             jnp.int32(self.ref_kf), cfg, use_stereo=use_st,
         )
+        self.m = tracking.apply_track_counts(self.m, counts)
         p = np.asarray(packed)          # the single per-frame host sync
         n_tracked = int(p[24])
         if n_tracked < cfg.min_inliers_local:
@@ -1097,16 +1185,34 @@ class Engine:
         self._close_loop_from(det_kf, cands)
 
     def _close_loop_from(self, det_kf: int, cands) -> None:
-        for c in cands:
+        if not cands:
+            return
+        # detection lags evaluation by a keyframe: any slot involved may have
+        # been culled and RECYCLED into an unrelated new keyframe since.
+        # Verify insertion numbers against the live map before trusting a
+        # slot (one small blocking pull, only when candidates exist — rare).
+        seq_now = np.asarray(self.m.kfs.seq)
+        valid_now = np.asarray(self.m.kfs.valid)
+        det_seq = getattr(self._loop, "last_eval_det_seq", None)
+        if not valid_now[det_kf] or (
+            det_seq is not None and int(seq_now[det_kf]) != det_seq
+        ):
+            return
+        for c, c_seq in cands:
+            if not valid_now[c] or int(seq_now[c]) != c_seq:
+                continue
             self._key, sub = jax.random.split(self._key)
             lc = self._loop.compute_sim3(self.m, det_kf, c, sub)
             if lc is None:
                 continue
             self.m = self._loop.correct(self.m, det_kf, lc, self.cfg)
-            # refine the whole map after the topological correction
+            # refine the whole map after the topological correction;
+            # landmark-sharded over the device mesh when one is available
             from .optim.global_ba import global_bundle_adjustment
 
-            self.m = global_bundle_adjustment(self.m, self.cfg, iters=8)
+            self.m = global_bundle_adjustment(
+                self.m, self.cfg, iters=8, mesh=self.mesh
+            )
             # resume tracking from the corrected latest-keyframe pose
             self._last_R = np.asarray(self.m.kfs.R[self.ref_kf])
             self._last_t = np.asarray(self.m.kfs.t[self.ref_kf])

@@ -40,8 +40,17 @@ def predict_scale(dist: jax.Array, dmax: jax.Array, cfg: EngineConfig) -> jax.Ar
     return jnp.clip(lvl, 0, cfg.n_levels - 1).astype(jnp.int32)
 
 
-def _project_landmarks(m: MapState, ids: jax.Array, R, t, cfg: EngineConfig):
+def _project_landmarks(
+    m: MapState, ids: jax.Array, R, t, cfg: EngineConfig, frustum: bool = False
+):
     """Gather landmark data for ids (L = invalid sentinel) and project.
+
+    With ``frustum=True`` the full Frame::isInFrustum gate applies: besides
+    in-image + positive depth, the viewing direction must be within 60 deg of
+    the landmark's mean normal and the camera distance inside the
+    scale-invariance band [0.8*dmin, 1.2*dmax] (reference: Frame.cc
+    isInFrustum; used by SearchLocalPoints and Fuse, NOT by the
+    last-frame motion-model search).
 
     Returns (xyz, desc, uv, octave, vis) all sized like ids.
     """
@@ -59,9 +68,20 @@ def _project_landmarks(m: MapState, ids: jax.Array, R, t, cfg: EngineConfig):
         & (uv[:, 1] < cfg.height)
     )
     cam_center = -R.T @ t
-    dist = jnp.linalg.norm(xyz - cam_center, axis=-1)
+    ray = xyz - cam_center
+    dist = jnp.linalg.norm(ray, axis=-1)
     octv = predict_scale(dist, dmax, cfg)
     vis = ok & (z > 1e-3) & inb
+    if frustum:
+        normal = m.lms.normal[safe]
+        dmin = m.lms.dmin[safe]
+        cos_view = jnp.sum(ray * normal, axis=-1) / jnp.maximum(dist, 1e-9)
+        vis = (
+            vis
+            & (cos_view > cfg.view_cos_th)
+            & (dist >= 0.8 * dmin)
+            & (dist <= 1.2 * dmax)
+        )
     return xyz, desc, uv, octv, vis
 
 
@@ -166,17 +186,22 @@ def track_local_map_match(
     radius: float = 6.0,
 ):
     """Project the local map and match unassociated features (reference:
-    SearchLocalPoints). Existing associations win over new candidates.
-    Returns (lm_of_feat i32[F], n_matches)."""
+    SearchLocalPoints, with the full isInFrustum gate). Existing
+    associations win over new candidates.
+    Returns (lm_of_feat i32[F], n_matches, in_frustum bool[max_local_lms]);
+    the last output feeds the landmark n_visible counters (reference:
+    MapPoint::IncreaseVisible)."""
     F = frame.uv.shape[0]
     L = m.lms.xyz.shape[0]
     # exclude landmarks already matched in this frame
     already = jnp.zeros((L + 1,), bool).at[
         jnp.where(lm_of_feat >= 0, lm_of_feat, L)
     ].set(True)[:L]
-    _, desc, uv_pred, octv, vis = _project_landmarks(m, local_ids, R, t, cfg)
+    _, desc, uv_pred, octv, in_frustum = _project_landmarks(
+        m, local_ids, R, t, cfg, frustum=True
+    )
     safe = jnp.clip(local_ids, 0, L - 1)
-    vis = vis & ~already[safe]
+    vis = in_frustum & ~already[safe]
     feat_free = frame.valid & (lm_of_feat < 0)
     match_ft, _ = matching.match_projected(
         desc, uv_pred, vis, octv,
@@ -191,7 +216,10 @@ def track_local_map_match(
     )
     new_lm = jnp.where(new_lm >= L, INVALID_ID, new_lm)
     merged = jnp.where(lm_of_feat >= 0, lm_of_feat, new_lm)
-    return merged, jnp.sum((merged >= 0).astype(jnp.int32))
+    # already-associated local landmarks count as visible too (reference:
+    # IncreaseVisible also fires for points matched by the motion model)
+    in_frustum = in_frustum | already[safe]
+    return merged, jnp.sum((merged >= 0).astype(jnp.int32)), in_frustum
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_stereo"))
@@ -238,19 +266,28 @@ def fused_track_multi(
     lags tracking by up to B + pipeline-depth frames, the same kind of lag
     the reference's asynchronous LocalMapping exhibits.
 
-    Returns (R_last, t_last, R_prev, t_prev, lm_ids_last, packed [B, 26]).
+    Returns (R_last, t_last, R_prev, t_prev, lm_ids_last, packed [B, 26],
+    (vis_inc, found_inc) i32[L] batch-summed visibility counters).
     """
 
+    L = m.lms.xyz.shape[0]
+
     def body(carry, frame):
-        lm_ids, R, t, Rp, tp, hv = carry
-        R2, t2, lm2, packed = _auto_step(
+        lm_ids, R, t, Rp, tp, hv, vis_acc, found_acc = carry
+        R2, t2, lm2, packed, (vis_inc, found_inc) = _auto_step(
             m, lm_ids, frame, R, t, Rp, tp, hv, ref_kf, cfg, use_stereo
         )
-        return (lm2, R2, t2, R, t, jnp.asarray(True)), packed
+        return (
+            lm2, R2, t2, R, t, jnp.asarray(True),
+            vis_acc + vis_inc, found_acc + found_inc,
+        ), packed
 
-    init = (lm_ids0, R0, t0, R_prev0, t_prev0, has_vel0)
-    (lm_l, R_l, t_l, R_p, t_p, _), packed = jax.lax.scan(body, init, frames)
-    return R_l, t_l, R_p, t_p, lm_l, packed
+    zero = jnp.zeros((L,), jnp.int32)
+    init = (lm_ids0, R0, t0, R_prev0, t_prev0, has_vel0, zero, zero)
+    (lm_l, R_l, t_l, R_p, t_p, _, vis_acc, found_acc), packed = jax.lax.scan(
+        body, init, frames
+    )
+    return R_l, t_l, R_p, t_p, lm_l, packed, (vis_acc, found_acc)
 
 
 def _auto_step(m, lm_ids, frame, R, t, Rp, tp, hv, ref_kf, cfg, use_stereo):
@@ -286,8 +323,9 @@ def fused_track_step(
     All three match strategies are computed unconditionally and selected on
     device (they are cheap VPU matrix work; a host round-trip is not).
 
-    Returns (R, t, lm_ids, n_tracked, n_motion) — the two scalars are the
-    only values the host needs to pull per frame.
+    Returns (R, t, lm_ids, packed, (vis_inc, found_inc)): `packed` is the
+    single f32[26] array the host pulls per frame; the i32[L] count
+    increments feed MapPoint visibility accounting via apply_track_counts.
     """
     from .optim import pose_optimization
 
@@ -329,7 +367,7 @@ def fused_track_step(
     lm_ids = jnp.where(res.inlier, lm_ids, INVALID_ID)
 
     local_ids = local_landmark_ids(m, ref_kf, cfg)
-    lm_ids, _ = track_local_map_match(
+    lm_ids, _, in_frustum = track_local_map_match(
         m, local_ids, frame, lm_ids, res.R, res.t, cfg
     )
     X, uv, inv_s2, valid = gather_track_problem(m, frame, lm_ids, cfg)
@@ -342,6 +380,25 @@ def fused_track_step(
     lm_ids, n_tracked = filter_outlier_assoc(
         res2.R, res2.t, m, frame, lm_ids, cfg, chi2_th=chi2
     )
+    # per-landmark visibility/found increments for MapPointCulling's
+    # found-ratio rule (reference: Tracking::TrackLocalMap's
+    # IncreaseVisible on frustum-passing local points + IncreaseFound on
+    # final inlier associations)
+    L = m.lms.xyz.shape[0]
+    vis_inc = (
+        jnp.zeros((L + 1,), jnp.int32)
+        .at[jnp.where(in_frustum, local_ids, L)]
+        .add(1, mode="drop")[:L]
+    )
+    found_inc = (
+        jnp.zeros((L + 1,), jnp.int32)
+        .at[jnp.where(lm_ids >= 0, lm_ids, L)]
+        .add(1, mode="drop")[:L]
+    )
+    # found implies visible even when the landmark came from the motion
+    # model rather than the local candidate set
+    vis_inc = jnp.maximum(vis_inc, found_inc)
+    counts = (vis_inc, found_inc)
     # pack everything the host needs into ONE array -> one D2H transfer
     # (the tunnel's per-transfer latency dominates frame time): R (9),
     # t (3), R_rel to ref KF (9), t_rel (3), n_tracked, n_mm.
@@ -357,7 +414,7 @@ def fused_track_step(
             jnp.stack([n_tracked.astype(jnp.float32), n_mm.astype(jnp.float32)]),
         ]
     )
-    return res2.R, res2.t, lm_ids, packed
+    return res2.R, res2.t, lm_ids, packed, counts
 
 
 def _motion_match(m, last_lm_ids, frame, R_pred, t_pred, cfg, radius):
@@ -406,6 +463,19 @@ def _ref_kf_match(m, ref_kf, frame, cfg):
     )
     lm_of_feat = jnp.where(lm_of_feat >= L, INVALID_ID, lm_of_feat)
     return lm_of_feat, jnp.sum((lm_of_feat >= 0).astype(jnp.int32))
+
+
+@jax.jit
+def apply_track_counts(m: MapState, counts) -> MapState:
+    """Fold per-frame (or batch-summed) visibility/found increments into the
+    landmark store (reference: MapPoint::IncreaseVisible/IncreaseFound).
+    A tiny device-side add — dispatched asynchronously, never synced."""
+    vis_inc, found_inc = counts
+    lms = m.lms._replace(
+        n_visible=m.lms.n_visible + vis_inc,
+        n_found=m.lms.n_found + found_inc,
+    )
+    return m._replace(lms=lms)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -1,9 +1,11 @@
 """Test configuration: force a virtual 8-device CPU mesh.
 
-Tests never require TPU hardware: Pallas kernels fall back to interpreter mode
-on CPU (see dialog_tpu.kernels.common.INTERPRET), and sharding tests use the
-8 virtual CPU devices configured here (SURVEY.md §7.6 "Distributed without a
-cluster").
+Tests never require TPU hardware: on CPU the kernels dispatch to their jnp
+reference paths by default, the Pallas kernel bodies run under the
+interpreter when ``DIALOG_TPU_PALLAS_INTERPRET=1``
+(dialog_tpu.kernels.common.use_pallas — tests/test_kernels.py sets it per
+test), and sharding tests use the 8 virtual CPU devices configured here
+(SURVEY.md §7.6 "Distributed without a cluster").
 """
 
 import os

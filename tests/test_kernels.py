@@ -61,3 +61,37 @@ class TestHammingBest2:
             jnp.full((4,), 10.0**2),
         )
         assert (np.asarray(idx2) == -1).all()
+
+
+class TestPallasInterpret:
+    """Run the actual Pallas kernel bodies under the interpreter on CPU, so
+    both codepaths (kernel + jnp reference) are covered by default pytest
+    (the TPU gate is `python -m dialog_tpu.kernels.selfcheck` on hardware)."""
+
+    def test_hamming_kernel_matches_reference(self, monkeypatch):
+        monkeypatch.setenv("DIALOG_TPU_PALLAS_INTERPRET", "1")
+        from dialog_tpu.kernels import selfcheck
+
+        res = selfcheck.check_hamming(n=300, m=400)
+        assert all(res.values()), res
+
+    def test_fast_kernel_matches_reference(self, monkeypatch):
+        monkeypatch.setenv("DIALOG_TPU_PALLAS_INTERPRET", "1")
+        from dialog_tpu.kernels import selfcheck
+
+        res = selfcheck.check_fast(h=96, w=150)
+        assert all(res.values()), res
+
+    def test_hamming_tiebreak_lowest_index(self, monkeypatch):
+        # equal-distance ties must resolve to the LOWEST column index on
+        # every backend (jnp.argmin first-occurrence semantics); this was
+        # the round-3 on-TPU selfcheck failure
+        monkeypatch.setenv("DIALOG_TPU_PALLAS_INTERPRET", "1")
+        a, _ = _rand(8, 8, seed=7)
+        b = jnp.concatenate([a, a], axis=0)  # every row has a 2-way tie
+        idx, best, second = hamming_best2(
+            a, b, jnp.ones(8, bool), jnp.ones(16, bool)
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(8))
+        np.testing.assert_array_equal(np.asarray(best), np.zeros(8))
+        np.testing.assert_array_equal(np.asarray(second), np.zeros(8))
