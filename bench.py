@@ -1,66 +1,82 @@
 """Benchmark harness: frames/s of the full tracking pipeline.
 
-Emits ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The baseline is the reference C++ pipeline's ~30 fps on TUM-class input
-(SURVEY.md §6 proxy numbers; BASELINE.json `published` is empty).
+Emits one JSON line per workload; the LAST line is the primary metric (the
+driver parses that one). Workloads:
+
+* ``tum_mono_kf10``  — 640x480 monocular, 1000 feats, keyframe every <=10
+  frames (the round-1-comparable workload: ~3x the keyframe/mapping/BA events
+  of kf30). This is the PRIMARY metric: it is the conservative number.
+* ``tum_mono_kf30``  — same scene at the config-default ~1 s keyframe policy
+  (the reference's KF cadence).
+* ``kitti_stereo``   — 1241x376 stereo, 2000 feats, loop detection on
+  (BASELINE configs[2]-class workload; baseline ~15 fps on CPU).
+
+The mono baseline is the reference C++ pipeline's ~30 fps on TUM-class input
+(SURVEY.md §6 proxy numbers; BASELINE.json `published` is empty); the stereo
+baseline is ~15 fps (KITTI-class, same source).
 
 Runs on whatever backend JAX selects (the driver runs it on the real TPU
-chip). The workload is the reference's hot path: 640x480 monocular frames,
-1000 features, 8 pyramid levels — frontend + matching + pose optimization +
-keyframe mapping/BA + loop detection amortized over the sequence.
-
-The warmup region compiles EVERY runtime path before timing starts (sync
-init, batched tracking, keyframe mapping + local BA, vocabulary training,
-loop detection, and relocalization via a forced occlusion) — the analog of
-the reference's untimed ~10 s vocabulary load at startup.
+chip). The warmup region compiles EVERY runtime path before timing starts
+(sync init, batched tracking, keyframe mapping + local BA, vocabulary
+training, loop detection, and relocalization via a forced occlusion) — the
+analog of the reference's untimed ~10 s vocabulary load at startup. The
+loop-closer's pending/consistency state is saved and restored around the
+warmup compile poke so the timed region starts from organic state.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-BASELINE_FPS = 30.0
+BASELINE_FPS_MONO = 30.0
+BASELINE_FPS_STEREO = 15.0
+B = 8
 
 
-def main() -> None:
+def _warm_loop_paths(eng):
+    """Compile loop-detection dispatch/evaluate without disturbing state."""
+    if eng._vocab is None:
+        return
+    saved = (
+        eng._loop._pending_detect,
+        list(eng._loop._consistent),
+        eng._loop._eval_stamp,
+        eng._loop.last_eval_det_seq,
+    )
+    eng._loop._pending_detect = None
+    eng._loop.dispatch(eng.m, eng._bow_db, eng._vocab, max(eng.kf_count - 1, 0))
+    det = eng._loop.take_pending()
+    if det is not None:
+        eng._loop.evaluate(det[0], np.asarray(det[1]), det[2])
+    (
+        eng._loop._pending_detect,
+        eng._loop._consistent,
+        eng._loop._eval_stamp,
+        eng._loop.last_eval_det_seq,
+    ) = saved
+
+
+def run_mono(kf_interval: int, images, cfg, n_frames: int):
+    """One full mono run (warmup + timed region) at the given KF cadence."""
     import jax
     import jax.numpy as jnp
 
-    from dialog_tpu.config import EngineConfig
-    from dialog_tpu.datasets import synth
+    from dialog_tpu.frontend import extract_features_batch
     from dialog_tpu.system import Engine
 
-    cfg = EngineConfig(
-        width=640, height=480, n_features=1000, max_features=1024,
-        max_keyframes=256, max_landmarks=16384, max_local_lms=2048,
-        max_local_kfs=16, max_fixed_kfs=16, max_obs_per_lm=8,
-        local_ba_iters=5, max_frames_between_kf=30,
-    )
-    n_frames = 264
-    scene = synth.make_scene(seed=3, n_points=2500, n_frames=n_frames, cfg=cfg)
-    # pre-uploaded device images: the reference's timing also starts from an
-    # in-memory cv::Mat, and the engine's "memory" is HBM
-    images = [
-        jax.block_until_ready(jnp.asarray(synth.render_image(scene, i)))
-        for i in range(n_frames)
-    ]
-
-    from dialog_tpu.frontend import extract_features_batch
-
-    B = 8
     eng = Engine(cfg)
+    eng.kf_interval = kf_interval
 
     def run_batch(i, occlude=False):
         batch = extract_features_batch(jnp.stack(images[i : i + B]), cfg)
         if occlude:
             # blank the first half of the batch: forces LOST and compiles
             # the relocalization path during warmup
-            batch = batch._replace(
-                valid=batch.valid.at[: B // 2].set(False)
-            )
+            batch = batch._replace(valid=batch.valid.at[: B // 2].set(False))
         eng.track_batch(batch, [float(i + j) / 30.0 for j in range(B)])
 
     # --- warmup: frames [0, warm_end) -----------------------------------
@@ -70,15 +86,7 @@ def main() -> None:
     for i in range(8, warm_end, B):
         run_batch(i, occlude=(i == 48))
     eng.flush()
-    # compile the loop-detection path (dispatch + evaluate) explicitly: the
-    # organic warmup may end before kf_count crosses the detection threshold,
-    # and a first-time _pack_detect compile inside the timed region would be
-    # charged as ~0.5 s of fake frame time
-    if eng._vocab is not None:
-        eng._loop.dispatch(eng.m, eng._bow_db, eng._vocab, max(eng.kf_count - 1, 0))
-        det = eng._loop.take_pending()
-        if det is not None:
-            eng._loop.evaluate(det[0], np.asarray(det[1]), det[2])
+    _warm_loop_paths(eng)
     # ensure tracking is healthy before the timed region
     while eng.frame_id < warm_end + 2 * B and eng.state != "OK":
         i = eng.frame_id
@@ -99,15 +107,130 @@ def main() -> None:
     jax.block_until_ready(eng.m.kfs.R)
     elapsed = time.perf_counter() - t0
     n_timed = ((n_frames - B + 1 - start) // B) * B
-    fps = n_timed / elapsed
+    return n_timed / elapsed
 
+
+def run_stereo_kitti(n_frames: int = 168):
+    """KITTI-class stereo workload: 1241x376, 2000 features, loops on."""
+    import jax
+    import jax.numpy as jnp
+
+    from dialog_tpu.config import KITTI00
+    from dialog_tpu.datasets import synth
+    from dialog_tpu.frontend import extract_features_batch
+    from dialog_tpu.stereo import stereo_match_frames
+    from dialog_tpu.system import Engine
+
+    # KITTI00 preset at bench-scale capacities: full 2048-KF / 262k-LM
+    # capacity belongs to the soak test (tests/test_kitti_capacity.py); the
+    # bench measures per-frame throughput, which depends on F and image size
+    cfg = KITTI00.replace(max_keyframes=256, max_landmarks=32768)
+    scene = synth.make_scene(seed=7, n_points=6000, n_frames=n_frames, cfg=cfg)
+    b = cfg.baseline
+    scene_r = scene._replace(t=scene.t - np.array([b, 0.0, 0.0], np.float32))
+    left = [
+        jax.block_until_ready(jnp.asarray(synth.render_image(scene, i)))
+        for i in range(n_frames)
+    ]
+    right = [
+        jax.block_until_ready(jnp.asarray(synth.render_image(scene_r, i)))
+        for i in range(n_frames)
+    ]
+
+    eng = Engine(cfg)
+
+    def match_one(l, r, il, ir):
+        return stereo_match_frames(l, r, cfg, img_left=il, img_right=ir)
+
+    match_batch = jax.jit(jax.vmap(match_one))
+
+    def run_batch(i):
+        il = jnp.stack(left[i : i + B])
+        ir = jnp.stack(right[i : i + B])
+        fl = extract_features_batch(il, cfg)
+        fr = extract_features_batch(ir, cfg)
+        batch = match_batch(fl, fr, il, ir)
+        eng.track_batch(batch, [float(i + j) / 10.0 for j in range(B)])
+
+    warm_end = 64
+    for i in range(4):
+        eng.track_stereo(left[i], right[i], float(i) / 10.0)
+    for i in range(4, warm_end, B):
+        run_batch(i)
+    eng.flush()
+    _warm_loop_paths(eng)
+
+    start = ((eng.frame_id + B - 1) // B) * B
+    t0 = time.perf_counter()
+    for i in range(start, n_frames - B + 1, B):
+        run_batch(i)
+    eng.flush()
+    jax.block_until_ready(eng.m.kfs.R)
+    elapsed = time.perf_counter() - t0
+    n_timed = ((n_frames - B + 1 - start) // B) * B
+    return n_timed / elapsed
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dialog_tpu.config import EngineConfig
+    from dialog_tpu.datasets import synth
+
+    cfg = EngineConfig(
+        width=640, height=480, n_features=1000, max_features=1024,
+        max_keyframes=256, max_landmarks=16384, max_local_lms=2048,
+        max_local_kfs=16, max_fixed_kfs=16, max_obs_per_lm=8,
+        local_ba_iters=5, max_frames_between_kf=30,
+    )
+    n_frames = 264
+    scene = synth.make_scene(seed=3, n_points=2500, n_frames=n_frames, cfg=cfg)
+    # pre-uploaded device images: the reference's timing also starts from an
+    # in-memory cv::Mat, and the engine's "memory" is HBM
+    images = [
+        jax.block_until_ready(jnp.asarray(synth.render_image(scene, i)))
+        for i in range(n_frames)
+    ]
+
+    # config-default cadence first (compiles everything), then the
+    # keyframe-heavy workload on the warm jit cache
+    fps_kf30 = run_mono(30, images, cfg, n_frames)
+    fps_kf10 = run_mono(10, images, cfg, n_frames)
+    results = {
+        "tum_mono_kf30": {
+            "value": round(fps_kf30, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps_kf30 / BASELINE_FPS_MONO, 3),
+        },
+        "tum_mono_kf10": {
+            "value": round(fps_kf10, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps_kf10 / BASELINE_FPS_MONO, 3),
+        },
+    }
+    if os.environ.get("DIALOG_TPU_BENCH_SKIP_STEREO", "") != "1":
+        fps_st = run_stereo_kitti()
+        results["kitti_stereo"] = {
+            "value": round(fps_st, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps_st / BASELINE_FPS_STEREO, 3),
+        }
+    for name, r in results.items():
+        print(json.dumps({"metric": f"tracking_fps_{name}", **r}))
+    # primary metric LAST (the driver parses the final JSON line): the
+    # round-1-comparable keyframe-heavy mono workload — the conservative
+    # number, not the favorable one (VERDICT r3 weak #2)
     print(
         json.dumps(
             {
                 "metric": "tracking_fps_tum_class_mono",
-                "value": round(fps, 2),
+                "value": results["tum_mono_kf10"]["value"],
                 "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "vs_baseline": results["tum_mono_kf10"]["vs_baseline"],
+                "workloads": {
+                    k: v["value"] for k, v in results.items()
+                },
             }
         )
     )

@@ -97,6 +97,8 @@ class EngineConfig:
     pose_opt_iters: int = 6
     local_ba_iters: int = 8
     kf_tri_neighbors: int = 2     # triangulation/fusion fan-out per keyframe
+    kf_fuse_two_hop: int = 2      # second-degree fusion fan-out (reference:
+                                  # SearchInNeighbors' two-hop neighbor set)
     # descriptor gate for new-point triangulation between keyframes. Looser
     # than th_low on purpose: the epipolar/reproj/parallax/cheirality checks
     # do the real filtering, and map growth starves if this is tight

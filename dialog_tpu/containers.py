@@ -120,6 +120,9 @@ class MapState(NamedTuple):
     covis: jax.Array      # i32[K, K]  covisibility weights (shared-landmark counts)
     num_kfs: jax.Array    # i32 scalar: keyframes ever allocated (monotonic high-water)
     num_lms: jax.Array    # i32 scalar
+    lm_dropped: jax.Array # i32 scalar: landmark candidates dropped because the
+                          # freelist was empty (SURVEY.md §5 "no silent caps" —
+                          # surfaced to the host via pack_map_meta)
 
 
 def empty_map(cfg: EngineConfig) -> MapState:
@@ -164,6 +167,7 @@ def empty_map(cfg: EngineConfig) -> MapState:
         covis=jnp.zeros((K, K), jnp.int32),
         num_kfs=jnp.zeros((), jnp.int32),
         num_lms=jnp.zeros((), jnp.int32),
+        lm_dropped=jnp.zeros((), jnp.int32),
     )
 
 
@@ -217,6 +221,7 @@ def pack_map_meta(m: MapState) -> jax.Array:
             m.kfs.cull_seq.astype(jnp.float32),
             m.kfs.cull_R.reshape(K * 9),
             m.kfs.cull_t.reshape(K * 3),
+            m.lm_dropped.astype(jnp.float32)[None],
         ]
     )
 
@@ -226,7 +231,7 @@ class MapMeta:
 
     __slots__ = (
         "valid", "parent", "seq", "R", "t",
-        "cull_parent", "cull_seq", "cull_R", "cull_t",
+        "cull_parent", "cull_seq", "cull_R", "cull_t", "lm_dropped",
     )
 
     def __init__(self, meta, K: int):
@@ -242,6 +247,7 @@ class MapMeta:
         self.cull_seq = meta[16 * K : 17 * K].astype(np.int32)
         self.cull_R = meta[17 * K : 26 * K].reshape(K, 3, 3)
         self.cull_t = meta[26 * K : 29 * K].reshape(K, 3)
+        self.lm_dropped = int(meta[29 * K])
 
 
 def parse_map_meta(meta, K: int):

@@ -86,11 +86,20 @@ def make_sfm_problem(cfg, n_cams: int, n_pts: int, seed: int = 0):
 
 def main() -> None:
     from ..config import EngineConfig
-    from ..optim.local_ba import solve_ba
+    from ..optim.global_ba import DENSE_SCHUR_MAX_CAMS
+    from ..optim.local_ba import solve_ba as solve_dense
+    from ..optim.schur_pcg import solve_ba_pcg
 
     n_cams = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     n_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
     cfg = EngineConfig(max_obs_per_lm=8)
+    # same size policy as the engine's global BA: matrix-free Schur PCG
+    # once the dense reduced system stops being tractable
+    if n_cams > DENSE_SCHUR_MAX_CAMS:
+        def solve_ba(p, cfg, iters):
+            return solve_ba_pcg(p, cfg, iters=iters)
+    else:
+        solve_ba = solve_dense
     prob = make_sfm_problem(cfg, n_cams, n_pts)
     n_dev = len(jax.devices())
     results = {}

@@ -20,14 +20,19 @@ import numpy as np
 
 @jax.jit
 def _pack_detect(m, bow_db, cur_kf):
-    """BoW scores vs all KFs + covisibility row + validity (one vector), plus
-    the boolean covisibility-adjacency matrix the host consistency check
-    needs. Both are D2H-copied asynchronously at dispatch time so the later
-    evaluate() never pays the tunnel RTT (KERNELS.md: a blocking pull costs
-    ~32 ms; an async copy resolved a batch later costs ~0)."""
+    """BoW scores vs all KFs + covisibility row + validity + seq + shared-
+    word counts (one vector), plus the boolean covisibility-adjacency matrix
+    the host consistency check needs. Both are D2H-copied asynchronously at
+    dispatch time so the later evaluate() never pays the tunnel RTT
+    (KERNELS.md: a blocking pull costs ~32 ms; an async copy resolved a
+    batch later costs ~0)."""
     from . import vocab as _vocab
 
     scores = _vocab.bow_l1_scores(bow_db[cur_kf], bow_db)
+    # common-word counts (reference: DetectLoopCandidates' shared-word pass
+    # over the inverted index — here one boolean matvec)
+    q_has = (bow_db[cur_kf] > 0).astype(jnp.float32)
+    common = jnp.dot((bow_db > 0).astype(jnp.float32), q_has)
     vec = jnp.concatenate(
         [
             scores,
@@ -36,6 +41,7 @@ def _pack_detect(m, bow_db, cur_kf):
             # insertion numbers: slot indices stop being age-ordered once
             # culled slots are recycled, so the "too recent" gate keys on seq
             m.kfs.seq.astype(jnp.float32),
+            common,
         ]
     )
     neigh = (m.covis > 0) & m.kfs.valid[None, :]
@@ -51,6 +57,54 @@ from .optim.pose_graph import (
     solve_pose_graph,
     apply_pose_graph_correction,
 )
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _guided_sim3_matches(m, cur_kf, cand_kf, s21, R21, t21, cfg):
+    """Count cur-feature <-> cand-landmark matches under a refined Sim3.
+
+    Reference: ``ORBmatcher::SearchBySim3`` — the candidate keyframe's
+    landmarks are mapped through S21^-1 into the current camera and
+    projected; descriptor matching in a window then recovers
+    correspondences the BoW pass missed. The final acceptance gate
+    (``LoopClosing::ComputeSim3``'s >= 40 total matches) runs on this
+    count, which subsumes the RANSAC/refine inliers: with the refined
+    transform every true inlier reprojects inside the window.
+    """
+    kfs, lms = m.kfs, m.lms
+    L = lms.xyz.shape[0]
+    obs_k = kfs.obs_lm[cand_kf]
+    ok_k = (
+        kfs.feat_valid[cand_kf]
+        & (obs_k >= 0)
+        & lms.valid[jnp.clip(obs_k, 0, L - 1)]
+    )
+    ids = jnp.clip(obs_k, 0, L - 1)
+    X_w = lms.xyz[ids]
+    # world -> cand camera -> (Sim3 inverse) -> predicted cur camera
+    Xk = geo.se3_apply(kfs.R[cand_kf], kfs.t[cand_kf], X_w)
+    s12, R12, t12 = geo.sim3_inv(s21, R21, t21)
+    X1 = geo.sim3_apply(s12, R12, t12, Xk)
+    uv_pred, z = geo.project(
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32), X1,
+        cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+    )
+    vis = (
+        ok_k
+        & (z > 1e-3)
+        & (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < cfg.width)
+        & (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < cfg.height)
+    )
+    match_ft, _ = matching.match_projected(
+        lms.desc[ids], uv_pred, vis, kfs.octave[cand_kf],
+        kfs.desc[cur_kf], kfs.uv[cur_kf], kfs.feat_valid[cur_kf],
+        kfs.octave[cur_kf],
+        radius=8.0, scale_factor=cfg.scale_factor,
+        max_dist=cfg.th_high, ratio=1.0, octave_band=2,
+    )
+    return jnp.sum((match_ft >= 0).astype(jnp.int32))
 
 
 @dataclasses.dataclass
@@ -144,6 +198,7 @@ class LoopCloser:
         covis_row = packed[K : 2 * K]
         kf_valid = packed[2 * K : 3 * K] > 0.5
         seq = packed[3 * K : 4 * K].astype(np.int64)
+        common = packed[4 * K : 5 * K] if len(packed) >= 5 * K else None
         neighbors = (covis_row > 0) & kf_valid
         scores[~kf_valid] = -1.0
         scores[cur_kf] = -1.0
@@ -154,14 +209,36 @@ class LoopCloser:
         # (by insertion number, not slot index — slots are recycled)
         recent = seq > seq[cur_kf] - 8
         cand_mask = (scores >= max(min_score, 0.05)) & ~neighbors & ~recent
+        # shared-word gate (reference: DetectLoopCandidates keeps keyframes
+        # with > 0.8 * maxCommonWords shared words before scoring)
+        if common is not None and cand_mask.any():
+            max_cw = float(common[cand_mask].max())
+            if max_cw > 0:
+                cand_mask &= common >= 0.8 * max_cw
         cands = np.nonzero(cand_mask)[0]
+
+        # accumulated covisibility-group scoring (reference: the accScore
+        # pass — each candidate's score pools over its covisible co-candidates;
+        # keep groups >= 0.75 * best and return each group's best member)
+        covis_np = np.asarray(neigh_mat) if len(cands) else None
+        if len(cands) > 1:
+            acc = np.empty(len(cands), np.float32)
+            best_member = np.empty(len(cands), np.int64)
+            cand_set = cand_mask.copy()
+            for idx, c in enumerate(cands):
+                group = (covis_np[int(c)] > 0) & cand_set
+                group[int(c)] = True
+                members = np.nonzero(group)[0]
+                acc[idx] = float(scores[members].sum())
+                best_member[idx] = members[np.argmax(scores[members])]
+            keep = acc >= 0.75 * float(acc.max())
+            cands = np.unique(best_member[keep])
 
         # 3-consecutive-KF covisibility consistency (reference gate);
         # groups are keyed on insertion numbers, never slot indices, so a
         # recycled slot can't fake continuity with an unrelated group
         accepted = []
         new_groups: list[tuple[set[int], int]] = []
-        covis_np = np.asarray(neigh_mat) if len(cands) else None
         for c in cands:
             group_slots = np.nonzero((covis_np[int(c)] > 0) & kf_valid)[0]
             group = {int(seq[s]) for s in group_slots}
@@ -222,6 +299,17 @@ class LoopCloser:
             cfg.fx, cfg.fy, cfg.cx, cfg.cy, fix_scale=fix_scale,
         )
         if int(n_inl) < 20:
+            return None
+        # guided second pass (reference: SearchBySim3 then the >= 40 total-
+        # match gate): project the candidate's landmarks through the refined
+        # Sim3 and require the wider correspondence set to clear
+        # cfg.loop_min_matches before committing to a closure
+        n_guided = int(
+            _guided_sim3_matches(
+                m, cur, cand, jnp.float32(s2), R2, t2, cfg
+            )
+        )
+        if n_guided < cfg.loop_min_matches:
             return None
         return LoopCandidate(
             cand_kf=cand_kf,

@@ -119,7 +119,15 @@ def alloc_landmarks(
         n_found=lms.n_found.at[slot_of].set(1, mode="drop"),
         valid=lms.valid.at[slot_of].set(True, mode="drop"),
     )
-    m = m._replace(lms=lms, num_lms=m.num_lms + jnp.sum(can.astype(jnp.int32)))
+    n_alloc = jnp.sum(can.astype(jnp.int32))
+    # SURVEY.md §5 "no silent caps": candidates that didn't fit are counted,
+    # not silently discarded — the host surfaces lm_dropped via pack_map_meta
+    n_dropped = jnp.sum(mask.astype(jnp.int32)) - n_alloc
+    m = m._replace(
+        lms=lms,
+        num_lms=m.num_lms + n_alloc,
+        lm_dropped=m.lm_dropped + n_dropped,
+    )
     return m, slot_of
 
 
@@ -476,7 +484,9 @@ def cull_keyframes(m: MapState, cur_kf: jax.Array, cfg: EngineConfig) -> MapStat
     return recount_lm_obs(m)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "spawn_depth", "n_neighbors"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "spawn_depth", "n_neighbors", "n_two_hop")
+)
 def process_new_keyframe(
     m: MapState,
     frame: FrameArrays,
@@ -490,15 +500,19 @@ def process_new_keyframe(
     cfg: EngineConfig,
     spawn_depth: bool = False,
     n_neighbors: int = 4,
+    n_two_hop: int | None = None,
 ) -> MapState:
     """The whole keyframe pipeline as ONE device dispatch.
 
     Insert, (stereo/RGB-D) depth spawning, triangulation + duplicate fusion
-    against the top covisible neighbors (selected on device), covisibility
-    refresh, descriptor refresh, and landmark culling — the reference's
-    LocalMapping::Run body minus the thread (SURVEY.md §7.1 rule 1); the
-    follow-up local BA is a separate dispatch (optim/local_ba).
+    against the top covisible neighbors (selected on device) plus their own
+    best neighbors (the reference's two-hop SearchInNeighbors set),
+    covisibility refresh, descriptor refresh, and landmark culling — the
+    reference's LocalMapping::Run body minus the thread (SURVEY.md §7.1
+    rule 1); the follow-up local BA is a separate dispatch (optim/local_ba).
     """
+    if n_two_hop is None:
+        n_two_hop = cfg.kf_fuse_two_hop
     m = insert_keyframe(
         m, frame, R, t, lm_ids, frame_id, timestamp, slot, parent, cfg
     )
@@ -521,8 +535,25 @@ def process_new_keyframe(
 
     m = jax.lax.fori_loop(0, n_neighbors, tri_body, m)
 
+    # fusion fan-out: the one-hop set plus the strongest second-degree
+    # neighbors (reference: LocalMapping::SearchInNeighbors extends the
+    # target set with each neighbor's own best covisible keyframes)
+    fuse_targets = neighbors
+    if n_two_hop > 0:
+        one_hop = jnp.zeros((K,), bool).at[
+            jnp.where(top_w > 0, neighbors, K)
+        ].set(True, mode="drop")
+        rows = jnp.where(
+            (top_w > 0)[:, None], m.covis[neighbors], 0
+        )                                                   # [n_neighbors, K]
+        w2 = jnp.max(rows, axis=0)
+        w2 = jnp.where(m.kfs.valid & ~one_hop, w2, 0).at[slot].set(0)
+        top_w2, nb2 = jax.lax.top_k(w2, n_two_hop)
+        nb2 = jnp.where(top_w2 > 0, nb2, slot)
+        fuse_targets = jnp.concatenate([neighbors, nb2])
+
     def fuse_body(i, m):
-        nb = neighbors[i]
+        nb = fuse_targets[i]
 
         def do(mm):
             mm = fuse_landmarks_into_kf(mm, slot, nb, cfg, recount=False)
@@ -530,7 +561,7 @@ def process_new_keyframe(
 
         return jax.lax.cond(nb != slot, do, lambda mm: mm, m)
 
-    m = jax.lax.fori_loop(0, n_neighbors, fuse_body, m)
+    m = jax.lax.fori_loop(0, fuse_targets.shape[0], fuse_body, m)
     m = recount_lm_obs(m)
     m = update_covis_for_kf(m, slot)
     m = refresh_landmark_descriptors(m, slot, cfg)

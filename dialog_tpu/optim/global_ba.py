@@ -110,6 +110,13 @@ def shard_problem(prob: BAProblem, mesh: Mesh, axis=None) -> BAProblem:
     )
 
 
+# camera count above which the dense reduced system is replaced by the
+# matrix-free Schur PCG (schur_pcg.solve_ba_pcg): forming S costs
+# O((6C)^2 3P) flops and (6C)^2 memory — at the KITTI00 preset's C=2048
+# that is minutes per LM iteration, vs milliseconds for the implicit solve
+DENSE_SCHUR_MAX_CAMS = 192
+
+
 def global_bundle_adjustment(
     m: MapState,
     cfg: EngineConfig,
@@ -120,7 +127,12 @@ def global_bundle_adjustment(
     prob = build_global_problem(m, cfg)
     if mesh is not None:
         prob = shard_problem(prob, mesh)
-    R, t, xyz, _ = solve_ba(prob, cfg, iters=iters, chi2_th=cfg.chi2_mono)
+    if prob.cam_slots.shape[0] > DENSE_SCHUR_MAX_CAMS:
+        from .schur_pcg import solve_ba_pcg
+
+        R, t, xyz, _ = solve_ba_pcg(prob, cfg, iters=iters, chi2_th=cfg.chi2_mono)
+    else:
+        R, t, xyz, _ = solve_ba(prob, cfg, iters=iters, chi2_th=cfg.chi2_mono)
     if mesh is not None:
         # bring results back to the map's device so the engine's map state
         # never inherits a multi-device sharding from a loop-closure GBA

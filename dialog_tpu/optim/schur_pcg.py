@@ -1,0 +1,177 @@
+"""Matrix-free Schur-complement PCG for large bundle adjustment.
+
+The dense reduced camera system ``S = Hcc - Y Hll^-1 Y^T`` that
+``local_ba.solve_ba`` forms explicitly is O((6C)^2) memory and needs
+O((6C)^2 · 3P) flops to build via the one-hot contraction — fine for
+covisibility windows (C <= 64), ruinous at global scale (the KITTI00
+preset: C = 2048 cameras, P = 262k landmarks would be hundreds of
+teraflops PER LM ITERATION). This solver never forms S: each CG iteration
+applies it from the per-observation factors
+
+    S x = Hcc_d x - sum_p Y_p (Hll_p^-1 (Y_p^T x_{cams(p)}))
+
+at O(P·O) cost, with a block-Jacobi preconditioner built from S's exact
+6x6 diagonal blocks (a landmark is observed at most once per camera, so
+the pair term's diagonal is a plain segment-sum of (Y Lh)(Y Lh)^T — no
+cross terms).
+
+This is how large-scale BA systems make Schur tractable (canonical
+g2o/Ceres analogue: iterative Schur with the SCHUR_JACOBI preconditioner;
+reference: ``Optimizer::GlobalBundleAdjustemnt`` + g2o BlockSolver_6_3,
+SURVEY.md §2.1/§2.2). Every piece is a batched contraction, gather, or
+segment-sum over the landmark axis, so the identical code path shards over
+the device mesh (optim/global_ba.shard_problem): per-shard landmark
+contributions combine into the replicated [C, 6] camera vectors through
+XLA-inserted all-reduces.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import geometry as geo
+from ..config import EngineConfig
+from .lm import all_finite, chol3x3, tri_inv3x3_lower
+from .local_ba import BAProblem, _residuals, _robust_weights
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iters", "cg_iters"))
+def solve_ba_pcg(
+    prob: BAProblem,
+    cfg: EngineConfig,
+    iters: int = 10,
+    chi2_th: float = 5.991,
+    lam0: float = 1e-4,
+    cg_iters: int = 48,
+):
+    """Damped LM with a matrix-free Schur PCG camera solve.
+
+    Drop-in alternative to ``local_ba.solve_ba`` for problems whose reduced
+    camera system is too large to form densely. Returns
+    (R [C,3,3], t [C,3], xyz [P,3], final robust cost).
+    """
+    fx, fy, cx, cy = cfg.fx, cfg.fy, cfg.cx, cfg.cy
+    C = prob.cam_slots.shape[0]
+    P = prob.lm_ids.shape[0]
+    delta2 = chi2_th
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+
+    def cost_of(R, t, xyz):
+        r, _, _, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy)
+        _, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
+        return cost
+
+    def seg6(cam, vals):
+        """Segment-sum [P,O,...] observation values into [C] camera rows."""
+        flat = cam.reshape(-1)
+        v = vals.reshape((flat.shape[0],) + vals.shape[2:])
+        out = jnp.zeros((C + 1,) + vals.shape[2:], vals.dtype)
+        return out.at[flat].add(v, mode="drop")[:C]
+
+    def step(R, t, xyz, lam):
+        r, J_c, J_l, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy)
+        w, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
+        opt_of_obs = prob.cam_opt[jnp.clip(prob.obs_cam, 0, C - 1)]
+        J_c = jnp.where(opt_of_obs[..., None, None], J_c, 0.0)
+        cam = jnp.clip(prob.obs_cam, 0, C)          # C = pad row (sliced off)
+
+        # --- landmark blocks (identical math to solve_ba) ----------------
+        Hll = jnp.einsum("poki,po,pokj->pij", J_l, w, J_l)
+        g_l = jnp.einsum("poki,po,pok->pi", J_l, w, r)
+        dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
+        Hll_d = Hll + (lam * jnp.maximum(dll, 1e-9) + 1e-9)[..., None] * jnp.eye(
+            3, dtype=Hll.dtype
+        )
+        Ld = chol3x3(Hll_d)
+        Ld_inv = tri_inv3x3_lower(Ld)
+        Hll_inv = jnp.einsum("pki,pkj->pij", Ld_inv, Ld_inv)
+
+        # --- per-observation camera factors ------------------------------
+        Y = jnp.einsum("poki,po,pokj->poij", J_c, w, J_l)        # [P,O,6,3]
+        g_c = seg6(cam, jnp.einsum("poki,po,pok->poi", J_c, w, r))
+        Hcc = seg6(cam, jnp.einsum("poki,po,pokj->poij", J_c, w, J_c))
+        g_red = seg6(
+            cam,
+            jnp.einsum("poij,pj->poi", Y, jnp.einsum("pij,pj->pi", Hll_inv, g_l)),
+        )
+        dcc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
+        Hcc_d = Hcc + (lam * jnp.maximum(dcc, 1e-9) + 1e-9)[..., None] * eye6
+        # frozen cameras: identity rows keep the system nonsingular while
+        # the zero rhs pins their update to zero
+        Hcc_d = jnp.where(prob.cam_opt[:, None, None], Hcc_d, eye6)
+
+        # --- block-Jacobi preconditioner: exact 6x6 diagonal of S --------
+        Lh = jnp.swapaxes(Ld_inv, -1, -2)                         # [P,3,3]
+        YL = jnp.einsum("poij,pjk->poik", Y, Lh)                  # [P,O,6,3]
+        D = Hcc_d - seg6(cam, jnp.einsum("poik,pojk->poij", YL, YL))
+        D = jnp.where(prob.cam_opt[:, None, None], D, eye6)
+        D_inv = jnp.linalg.inv(D + 1e-8 * eye6)
+
+        opt6 = prob.cam_opt[:, None]                              # [C,1]
+
+        def matvec(x):                                            # x [C,6]
+            x = jnp.where(opt6, x, 0.0)
+            y = jnp.einsum("cij,cj->ci", Hcc_d, x)
+            xp = jnp.concatenate([x, jnp.zeros((1, 6), x.dtype)])
+            xg = xp[cam]                                          # [P,O,6]
+            u = jnp.einsum("poij,poi->pj", Y, xg)                 # [P,3]
+            wv = jnp.einsum("pij,pj->pi", Hll_inv, u)
+            y = y - seg6(cam, jnp.einsum("poij,pj->poi", Y, wv))
+            return jnp.where(opt6, y, 0.0)
+
+        def precond(x):
+            return jnp.where(opt6, jnp.einsum("cij,cj->ci", D_inv, x), 0.0)
+
+        b = jnp.where(opt6, -(g_c - g_red), 0.0)
+
+        def cg_body(_, carry):
+            x, res, z, p, rz = carry
+            Ap = matvec(p)
+            pAp = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) > 1e-20, pAp, 1.0)
+            alpha = jnp.where(jnp.abs(pAp) > 1e-20, alpha, 0.0)
+            x = x + alpha * p
+            res = res - alpha * Ap
+            z = precond(res)
+            rz_new = jnp.sum(res * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) > 1e-20, rz, 1.0)
+            beta = jnp.where(jnp.abs(rz) > 1e-20, beta, 0.0)
+            p = z + beta * p
+            return x, res, z, p, rz_new
+
+        x0 = jnp.zeros((C, 6))
+        z0 = precond(b)
+        dc, *_ = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (x0, b, z0, z0, jnp.sum(b * z0))
+        )
+
+        # --- landmark back-substitution ----------------------------------
+        dcp = jnp.concatenate([dc, jnp.zeros((1, 6))])[cam]       # [P,O,6]
+        cross = jnp.einsum("poij,poi->pj", Y, dcp)
+        dl = jnp.einsum("pij,pj->pi", Hll_inv, -g_l - cross)
+
+        R_new, t_new = geo.se3_retract(R, t, dc)
+        xyz_new = xyz + dl
+        return R_new, t_new, xyz_new, cost
+
+    def body(_, carry):
+        R, t, xyz, lam, cost = carry
+        R_new, t_new, xyz_new, _ = step(R, t, xyz, lam)
+        new_cost = cost_of(R_new, t_new, xyz_new)
+        accept = (new_cost < cost) & all_finite((R_new, t_new, xyz_new))
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        xyz = jnp.where(accept, xyz_new, xyz)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return R, t, xyz, lam, cost
+
+    R_in = geo.orthogonalize(prob.R)
+    cost0 = cost_of(R_in, prob.t, prob.xyz)
+    R, t, xyz, _, cost = jax.lax.fori_loop(
+        0, iters, body, (R_in, prob.t, prob.xyz, jnp.float32(lam0), cost0)
+    )
+    return geo.orthogonalize(R), t, xyz, cost

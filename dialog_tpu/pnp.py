@@ -1,13 +1,18 @@
-"""Batched PnP RANSAC for relocalization.
+"""Batched EPnP RANSAC for relocalization.
 
 Replaces the reference's EPnP solver (canonical ``src/PnPsolver.cc`` —
-SURVEY.md §2.1): instead of sequential adaptive RANSAC around the EPnP
+SURVEY.md §2.1). Instead of sequential adaptive RANSAC around the EPnP
 control-point machinery, every hypothesis is solved and scored in one
-device call (SURVEY.md §7.1 rule 3). The minimal solver is 6-point DLT on
-normalized camera coordinates with an SVD-Procrustes projection back onto
-SE(3) — cheaper to batch than EPnP's 12x12 eigensystem and equally good as
-a RANSAC hypothesis generator, since the winning pose is always refined by
-``optim.pose_optimization`` afterwards.
+device call (SURVEY.md §7.1 rule 3): the 12x12 eigensystems of all minimal
+sets are one batched ``jnp.linalg.eigh``, and the inlier census is one
+[iters, N] reprojection matrix.
+
+The minimal solver is the reference's EPnP formulation (4 control points
+from the PCA frame, barycentric coordinates, M^T M eigenvector, distance-
+ratio beta for the N=1 case) followed by a Procrustes rigid fit from world
+to camera-frame points — the batched equivalent of the reference's
+``compute_R_and_t``. A 6-point DLT (the round-1..3 solver) is kept as the
+``solver="dlt"`` alternative and as the A/B baseline in tests.
 """
 
 from __future__ import annotations
@@ -27,13 +32,91 @@ class PnPResult(NamedTuple):
     n_inliers: jax.Array # i32
 
 
+def _procrustes_rigid(Xw: jax.Array, Xc: jax.Array):
+    """Batched rigid fit: R, t minimizing ||R Xw + t - Xc|| (no scale).
+
+    Xw, Xc: [..., n, 3]. The reference's PnPsolver::estimate_R_and_t.
+    """
+    mu_w = jnp.mean(Xw, axis=-2)
+    mu_c = jnp.mean(Xc, axis=-2)
+    H = jnp.einsum("...ni,...nj->...ij", Xw - mu_w[..., None, :], Xc - mu_c[..., None, :])
+    U, _, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(jnp.einsum("...ji,...kj->...ik", Vt, U)))
+    D = jnp.concatenate(
+        [jnp.ones(d.shape + (2,)), d[..., None]], axis=-1
+    )
+    # R = V diag(1,1,d) U^T
+    R = jnp.einsum("...ji,...j,...jk->...ik", Vt, D, jnp.swapaxes(U, -1, -2))
+    t = mu_c - jnp.einsum("...ij,...j->...i", R, mu_w)
+    return R, t
+
+
+def _epnp_pose(X: jax.Array, xn: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """EPnP: X [..., n, 3] world points, xn [..., n, 2] normalized coords.
+
+    Returns (R [..., 3, 3], t [..., 3]). Reference: PnPsolver::iterate's
+    inner solve — choose_control_points, compute_barycentric_coordinates,
+    fill_M, the M^T M eigendecomposition, and the N=1 beta case (the later
+    pose_optimization refine plays the role of the reference's
+    gauss_newton on the betas).
+    """
+    n = X.shape[-2]
+    # --- control points: centroid + PCA frame -------------------------
+    c0 = jnp.mean(X, axis=-2)                                 # [..., 3]
+    Xc0 = X - c0[..., None, :]
+    cov = jnp.einsum("...ni,...nj->...ij", Xc0, Xc0) / n
+    wv, Wv = jnp.linalg.eigh(cov)                             # ascending
+    d = jnp.sqrt(jnp.maximum(wv, 1e-8))                       # [..., 3]
+    # A columns are the scaled principal directions: A = Wv @ diag(d)
+    A = Wv * d[..., None, :]                                  # [..., 3, 3]
+    cw = jnp.concatenate(
+        [c0[..., None, :], c0[..., None, :] + jnp.swapaxes(A, -1, -2)], axis=-2
+    )                                                         # [..., 4, 3]
+    # --- barycentric coordinates --------------------------------------
+    a123 = jnp.einsum(
+        "...ij,...nj->...ni", jnp.linalg.inv(A), Xc0
+    )                                                         # [..., n, 3]
+    alpha = jnp.concatenate(
+        [1.0 - jnp.sum(a123, axis=-1, keepdims=True), a123], axis=-1
+    )                                                         # [..., n, 4]
+    # --- M matrix and its normal equations ----------------------------
+    u = xn[..., 0]                                            # [..., n]
+    v = xn[..., 1]
+    zeros = jnp.zeros_like(alpha)
+    # x-rows: per control j the 3 columns (a_j, 0, -a_j u)
+    rx = jnp.stack([alpha, zeros, -alpha * u[..., None]], axis=-1)  # [...,n,4,3]
+    ry = jnp.stack([zeros, alpha, -alpha * v[..., None]], axis=-1)
+    M = jnp.concatenate(
+        [
+            rx.reshape(rx.shape[:-2] + (12,)),
+            ry.reshape(ry.shape[:-2] + (12,)),
+        ],
+        axis=-2,
+    )                                                         # [..., 2n, 12]
+    MtM = jnp.einsum("...ni,...nj->...ij", M, M)
+    _, V = jnp.linalg.eigh(MtM)
+    vker = V[..., :, 0]                                       # smallest eig
+    cc = vker.reshape(vker.shape[:-1] + (4, 3))               # [..., 4, 3]
+    # --- beta (N=1 case): match inter-control distances ----------------
+    ii, jj = jnp.triu_indices(4, k=1)
+    dv = jnp.linalg.norm(cc[..., ii, :] - cc[..., jj, :], axis=-1)  # [..., 6]
+    dw = jnp.linalg.norm(cw[..., ii, :] - cw[..., jj, :], axis=-1)
+    beta = jnp.sum(dv * dw, axis=-1) / jnp.maximum(
+        jnp.sum(dv * dv, axis=-1), 1e-12
+    )
+    Xcam = jnp.einsum("...nj,...jk->...nk", alpha, cc * beta[..., None, None])
+    # cheirality: reconstructed camera-frame depths must be positive
+    sgn = jnp.sign(jnp.sum(Xcam[..., 2], axis=-1))
+    Xcam = Xcam * jnp.where(sgn == 0, 1.0, sgn)[..., None, None]
+    return _procrustes_rigid(X, Xcam)
+
+
 def _dlt_pose(X: jax.Array, xn: jax.Array) -> tuple[jax.Array, jax.Array]:
     """6-point DLT: X [..., 6, 3] world, xn [..., 6, 2] normalized coords.
 
     Returns (R [..., 3, 3], t [..., 3]) with R projected onto SO(3).
     """
     x, y = xn[..., 0], xn[..., 1]
-    zeros = jnp.zeros_like(x)
     ones = jnp.ones_like(x)
     Xh = jnp.concatenate([X, ones[..., None]], axis=-1)      # [..., 6, 4]
     r1 = jnp.concatenate(
@@ -70,7 +153,7 @@ def _dlt_pose(X: jax.Array, xn: jax.Array) -> tuple[jax.Array, jax.Array]:
     return R, t
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "solver"))
 def solve_pnp_ransac(
     X: jax.Array,        # f32[N, 3] world points
     uv: jax.Array,       # f32[N, 2] observed pixels
@@ -83,6 +166,7 @@ def solve_pnp_ransac(
     iters: int = 256,
     chi2_th: float = 5.991,
     min_inliers: int = 15,
+    solver: str = "epnp",
 ) -> PnPResult:
     """All-hypotheses-at-once PnP RANSAC (reference: PnPsolver::iterate)."""
     N = X.shape[0]
@@ -91,7 +175,8 @@ def solve_pnp_ransac(
     pick = jax.random.randint(key, (iters, 6), 0, jnp.maximum(n_valid, 1))
     sel = vidx[pick]                                         # [iters, 6]
     xn = (uv - jnp.array([cx, cy])) / jnp.array([fx, fy])
-    R_all, t_all = _dlt_pose(X[sel], xn[sel])                # [iters, ...]
+    minimal = _epnp_pose if solver == "epnp" else _dlt_pose
+    R_all, t_all = minimal(X[sel], xn[sel])                  # [iters, ...]
 
     # score every hypothesis against every point
     Xc = jnp.einsum("hij,nj->hni", R_all, X) + t_all[:, None, :]

@@ -83,6 +83,14 @@ class Engine:
         self.ref_kf = 0
         self.last_kf_frame_id = -(10**9)
         self.last_kf_tracked = 0
+        # host-mutable copy of the stale-keyframe interval: benchmarks sweep
+        # keyframe rate without re-hashing cfg (cfg is a static jit argument,
+        # so a new cfg instance would recompile every device function)
+        self.kf_interval = cfg.max_frames_between_kf
+        # saturation accounting (SURVEY.md §5 "no silent caps"): capacity
+        # events are counted and exposed; attach a RunLogger to get events
+        self.stats = {"lm_dropped": 0, "kf_slot_full": 0}
+        self.logger = None  # optional instrument.RunLogger
         # init bookkeeping
         self._init_frame: Optional[FrameArrays] = None
         self._init_ts = 0.0
@@ -98,6 +106,7 @@ class Engine:
         # place recognition (reference: ORBVocabulary + KeyFrameDatabase)
         self._vocab = None
         self._bow_db = None  # f32[K, W] BoW vector per keyframe
+        self._vocab_trained_kfs = 0  # kf_count at last codebook (re)train
         from .loopclosing import LoopCloser
 
         self._loop = LoopCloser(cfg)
@@ -586,6 +595,7 @@ class Engine:
             self.state = LOST  # relocalize against the loaded map
             self._vocab = None  # retrain lazily from the loaded descriptors
             self._bow_db = None
+            self._vocab_trained_kfs = 0
         else:
             self.state = NOT_INITIALIZED
 
@@ -611,6 +621,7 @@ class Engine:
         self._vel = None
         self._vocab = None
         self._bow_db = None
+        self._vocab_trained_kfs = 0
         self._kf_valid_host = np.zeros(self.cfg.max_keyframes, bool)
         self._recent_kf_allocs.clear()
         self._seq_next = 0
@@ -736,6 +747,11 @@ class Engine:
         simultaneous culls are walked through their cull records up to the
         first keyframe the snapshot still shows alive.
         """
+        # surface landmark-freelist saturation (SURVEY.md §5 "no silent caps")
+        if meta.lm_dropped > self.stats["lm_dropped"]:
+            self.stats["lm_dropped"] = meta.lm_dropped
+            if self.logger is not None:
+                self.logger.log_event("lm_freelist_full", dropped=meta.lm_dropped)
         # retire host-side alloc entries the snapshot has caught up with
         for s, expected in list(self._recent_kf_allocs.items()):
             if meta.seq[s] >= expected:
@@ -998,9 +1014,19 @@ class Engine:
     # --- place recognition & relocalization ---------------------------
 
     def _ensure_vocab(self):
-        """Train the codebook from map descriptors once enough KFs exist
-        (the reference instead loads a shipped 145 MB vocabulary at startup)."""
-        if self._vocab is not None or self.kf_count < self.cfg.vocab_min_kfs:
+        """Train — and periodically retrain — the codebook from map
+        descriptors (the reference instead loads a shipped 145 MB vocabulary
+        at startup). The codebook is learned at ``vocab_min_kfs`` keyframes
+        and re-learned whenever the keyframe count has doubled since, so the
+        words keep tracking the scene's descriptor distribution; tf-idf
+        weights come from the keyframe corpus itself (reference:
+        TemplatedVocabulary leaf weights from its offline training set)."""
+        if self.kf_count < self.cfg.vocab_min_kfs:
+            return
+        if (
+            self._vocab is not None
+            and self.kf_count < 2 * max(self._vocab_trained_kfs, 1)
+        ):
             return
         from . import vocab as _vocab
 
@@ -1012,7 +1038,16 @@ class Engine:
         self._vocab = _vocab.train_vocab(
             desc, valid, sub, n_words=self.cfg.vocab_words, iters=6
         )
-        # backfill BoW rows for existing keyframes
+        self._vocab_trained_kfs = self.kf_count
+        # idf from the keyframe corpus: one quantize pass over every KF's
+        # descriptors; invalid slots quantize to the sentinel word and fall
+        # out of the document-frequency counts
+        wid = _vocab.quantize(self._vocab, desc, valid)
+        doc_ids = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[:, None], (K, F)
+        ).reshape(-1)
+        self._vocab = _vocab.compute_idf(self._vocab, wid, doc_ids, K)
+        # (re)build BoW rows for existing keyframes under the new codebook
         self._bow_db = jnp.zeros((K, self.cfg.vocab_words), jnp.float32)
         for k in np.nonzero(self._kf_slot_view())[0]:
             self._update_bow_row(int(k))
@@ -1042,7 +1077,43 @@ class Engine:
         q = _vocab.bow_vector(self._vocab, frame.desc, frame.valid)
         scores = _vocab.bow_l1_scores(q, self._bow_db)
         scores = jnp.where(self.m.kfs.valid, scores, -1.0)
-        order = np.argsort(-np.asarray(scores))[:3]
+        # candidate gating (reference: DetectRelocalizationCandidates):
+        # shared-word count gate at 0.8 * max, then covisibility-group
+        # accumulated scores — try each group's best member, best group first
+        common = np.array(
+            jnp.dot(
+                (self._bow_db > 0).astype(jnp.float32),
+                (q > 0).astype(jnp.float32),
+            )
+        )
+        scores = np.asarray(scores)
+        valid = np.asarray(self.m.kfs.valid)
+        common[~valid] = 0.0
+        cand_mask = valid & (scores > 0.0)
+        if cand_mask.any():
+            max_cw = common[cand_mask].max()
+            if max_cw > 0:
+                cand_mask &= common >= 0.8 * max_cw
+        cands = np.nonzero(cand_mask)[0]
+        if len(cands) > 1:
+            covis = np.asarray(self.m.covis)  # blocking pull; reloc is rare
+            acc = np.empty(len(cands), np.float32)
+            best_member = np.empty(len(cands), np.int64)
+            for i, c in enumerate(cands):
+                group = (covis[int(c)] > 0) & cand_mask
+                group[int(c)] = True
+                members = np.nonzero(group)[0]
+                acc[i] = scores[members].sum()
+                best_member[i] = members[np.argmax(scores[members])]
+            keep = acc >= 0.75 * acc.max()
+            order = [
+                int(c)
+                for c in np.unique(best_member[keep])[
+                    np.argsort(-scores[np.unique(best_member[keep])])
+                ]
+            ][:3]
+        else:
+            order = [int(c) for c in cands]
         for cand in order:
             cand = int(cand)
             if float(scores[cand]) <= 0.0:
@@ -1092,6 +1163,11 @@ class Engine:
             # at capacity: culling normally runs inside keyframe processing,
             # which a full map can no longer reach — run a standalone cull
             # pass so redundancy keeps freeing slots (no monotonic hard stop)
+            self.stats["kf_slot_full"] += 1
+            if self.logger is not None:
+                self.logger.log_event(
+                    "kf_slots_full", count=self.stats["kf_slot_full"]
+                )
             self.m = mapping.cull_keyframes(
                 self.m, jnp.int32(self.ref_kf), self.cfg
             )
@@ -1125,7 +1201,7 @@ class Engine:
         # the previous keyframe was itself weak (reference inserts whenever
         # mapping is idle; we have no idle gate, so use a tracked floor)
         starving = n_tracked < 2 * self.cfg.min_inliers_local
-        stale = since >= self.cfg.max_frames_between_kf
+        stale = since >= self.kf_interval
         return ((weak or starving) and n_tracked > 15) or stale
 
     def _create_keyframe(self, frame, ts, R, t, lm_ids, n_tracked):

@@ -192,9 +192,14 @@ def load_dbow2_text(path: str, max_words: int | None = None) -> Vocabulary:
 
 
 def compute_idf(vocab: Vocabulary, word_ids: jax.Array, doc_ids: jax.Array, n_docs: int) -> Vocabulary:
-    """Refresh idf from a corpus: idf_w = log(n_docs / (1 + df_w))."""
+    """Refresh idf from a corpus: idf_w = log(n_docs / (1 + df_w)).
+
+    (doc, word) pairs fit i32 at engine scales: n_docs <= max_keyframes
+    (2048 in the KITTI00 preset) times W+1 (vocab_words+1) stays far below
+    2^31.
+    """
     W = vocab.words.shape[0]
-    pair = doc_ids.astype(jnp.int64) * (W + 1) + word_ids
+    pair = doc_ids.astype(jnp.int32) * (W + 1) + word_ids.astype(jnp.int32)
     uniq = jnp.zeros(((n_docs) * (W + 1) + W + 1,), bool).at[pair].set(True)
     df = jnp.sum(uniq.reshape(-1, W + 1), axis=0)[:W].astype(jnp.float32)
     idf = jnp.log(jnp.maximum(n_docs, 1) / (1.0 + df))
