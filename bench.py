@@ -144,21 +144,30 @@ def run_stereo_kitti(n_frames: int = 168):
 
     match_batch = jax.jit(jax.vmap(match_one))
 
-    def run_batch(i):
+    def run_batch(i, occlude=False):
         il = jnp.stack(left[i : i + B])
         ir = jnp.stack(right[i : i + B])
         fl = extract_features_batch(il, cfg)
         fr = extract_features_batch(ir, cfg)
         batch = match_batch(fl, fr, il, ir)
+        if occlude:
+            # forces LOST + relocalization so EVERY recovery sub-path
+            # (BoW candidates, EPnP, reloc pose refine) compiles before
+            # the timed region — a first relocalization mid-measurement
+            # otherwise charges a multi-second XLA compile as frame time
+            batch = batch._replace(valid=batch.valid.at[: B // 2].set(False))
         eng.track_batch(batch, [float(i + j) / 10.0 for j in range(B)])
 
     warm_end = 64
     for i in range(4):
         eng.track_stereo(left[i], right[i], float(i) / 10.0)
     for i in range(4, warm_end, B):
-        run_batch(i)
+        run_batch(i, occlude=(i == 28))
     eng.flush()
     _warm_loop_paths(eng)
+    while eng.frame_id < warm_end + 2 * B and eng.state != "OK":
+        i = eng.frame_id
+        eng.track_stereo(left[i], right[i], float(i) / 10.0)
 
     start = ((eng.frame_id + B - 1) // B) * B
     t0 = time.perf_counter()

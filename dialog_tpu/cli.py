@@ -10,6 +10,7 @@ Usage::
 
     dialog-tpu run-tum  <seq_dir> [--settings TUM1.yaml] [--rgbd] [--out traj.txt]
     dialog-tpu run-kitti <seq_dir> [--settings KITTI00-02.yaml] [--mono] [--out traj.txt]
+    dialog-tpu run-euroc <seq_dir> [--settings EuRoC.yaml] [--mono] [--out traj.txt]
     dialog-tpu run-synth [--frames N] [--trajectory sweep|loop]
     dialog-tpu bench
 """
@@ -128,6 +129,47 @@ def run_kitti(args) -> None:
     _finish(eng, times, args.out, "kitti")
 
 
+def run_euroc(args) -> None:
+    """EuRoC MAV sequence (reference: Examples/*/mono_euroc, stereo_euroc)."""
+    from .config import Sensor, load_yaml, EngineConfig
+    from .datasets import euroc
+    from .system import Engine
+
+    sensor = Sensor.MONOCULAR if args.mono else Sensor.STEREO
+    cfg = (
+        load_yaml(args.settings, sensor)
+        if args.settings
+        else EngineConfig(
+            # EuRoC cam0 defaults (ASL calibration, pinhole radtan)
+            fx=458.654, fy=457.296, cx=367.215, cy=248.375,
+            k1=-0.28340811, k2=0.07395907, p1=0.00019359, p2=1.76187114e-05,
+            bf=47.90639384423901, width=752, height=480, fps=20.0,
+            sensor=sensor,
+        )
+    )
+    eng = Engine(cfg)
+    times = []
+    it = euroc.iter_mono(args.seq) if args.mono else euroc.iter_stereo(args.seq)
+    for i, item in enumerate(it):
+        if args.frames and i >= args.frames:
+            break
+        t0 = time.perf_counter()
+        if args.mono:
+            ts, img = item
+            eng.track_image(img, ts)
+        else:
+            ts, left, right = item
+            eng.track_stereo(left, right, ts)
+        times.append(time.perf_counter() - t0)
+    eng.flush()
+    gt = None
+    try:
+        _, gt = euroc.load_groundtruth(args.seq)
+    except (FileNotFoundError, OSError):
+        pass
+    _finish(eng, times, args.out, "tum", gt)
+
+
 def run_synth(args) -> None:
     from .config import EngineConfig
     from .datasets import synth
@@ -183,6 +225,14 @@ def main(argv=None) -> None:
     k.add_argument("--out")
     k.add_argument("--pipelined", action="store_true")
     k.set_defaults(fn=run_kitti)
+
+    e = sub.add_parser("run-euroc", help="run a EuRoC MAV sequence (mono or stereo)")
+    e.add_argument("seq", help="sequence dir containing mav0/")
+    e.add_argument("--settings")
+    e.add_argument("--mono", action="store_true")
+    e.add_argument("--frames", type=int)
+    e.add_argument("--out")
+    e.set_defaults(fn=run_euroc)
 
     s = sub.add_parser("run-synth", help="run a synthetic sequence")
     s.add_argument("--frames", type=int)

@@ -67,6 +67,33 @@ def check_fast(h=123, w=210, seed=1) -> dict:
     return results
 
 
+def check_schur(seed=0) -> dict:
+    """Fused Schur kernel vs the jnp einsum reduction, through solve_ba.
+
+    Tolerance-based (f32 contraction orders differ); the comparison runs
+    the full LM loop so damping/acceptance interplay is covered too.
+    """
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../../tests"))
+    from test_local_ba import CFG, make_problem
+
+    from ..optim.local_ba import solve_ba
+
+    prob, Rs, ts, pts, n_cams, n_pts = make_problem(seed=seed)
+    Rk, tk, xk, _ = solve_ba(prob, CFG, iters=5, use_kernel=True)
+    Rj, tj, xj, _ = solve_ba(prob, CFG, iters=5, use_kernel=False)
+    results = {
+        "R": bool(jnp.max(jnp.abs(Rk - Rj)) < 2e-3),
+        "t": bool(jnp.max(jnp.abs(tk - tj)) < 2e-3),
+        "xyz": bool(
+            jnp.max(jnp.abs(xk[:n_pts] - xj[:n_pts])) < 5e-3
+        ),
+    }
+    return results
+
+
 def main() -> None:
     print("backend:", jax.default_backend())
     res = check_hamming()
@@ -75,7 +102,11 @@ def main() -> None:
     fres = check_fast()
     for k, v in fres.items():
         print(f"fast[{k}]: {'OK' if v else 'MISMATCH'}")
+    sres = check_schur()
+    for k, v in sres.items():
+        print(f"schur[{k}]: {'OK' if v else 'MISMATCH'}")
     res.update({f"fast:{k}": v for k, v in fres.items()})
+    res.update({f"schur:{k}": v for k, v in sres.items()})
     assert all(res.values()), res
 
 

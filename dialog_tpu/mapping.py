@@ -420,12 +420,19 @@ def cull_keyframes(m: MapState, cur_kf: jax.Array, cfg: EngineConfig) -> MapStat
     octv = kfs.octave
 
     # per landmark: the minimum octave over observations per keyframe, via a
-    # (L, n_oct) histogram of observing keyframes per octave level
+    # (L, n_oct) histogram of observing keyframes per octave level. The
+    # scatter uses a single fused index (lm * n_oct + oct): TPU scatter-add
+    # with one index dimension lowers much better than the 2-D form
     n_oct = cfg.n_levels
     flat_lm = jnp.where(obs_ok, lm_of, L).reshape(-1)
     flat_oc = jnp.clip(octv, 0, n_oct - 1).reshape(-1)
-    # count of observations per (landmark, octave)
-    counts = jnp.zeros(((L + 1), n_oct), jnp.int32).at[flat_lm, flat_oc].add(1)[:L]
+    flat_idx = flat_lm * n_oct + flat_oc
+    counts = (
+        jnp.zeros(((L + 1) * n_oct,), jnp.int32)
+        .at[flat_idx]
+        .add(1)
+        .reshape(L + 1, n_oct)[:L]
+    )
     # cum_at_or_below[l, o] = #obs of landmark l at octave <= o
     cum = jnp.cumsum(counts, axis=1)
 
@@ -473,15 +480,27 @@ def cull_keyframes(m: MapState, cur_kf: jax.Array, cfg: EngineConfig) -> MapStat
     cull_t = kfs.cull_t.at[best].set(
         jnp.where(do, t_rp, kfs.cull_t[best])
     )
-    m = m._replace(
+    # incremental observation-count update: only the culled keyframe's row
+    # left the observation table, so subtract its contributions instead of
+    # re-scanning the whole [K, F] table (a full recount_lm_obs is ~3.5 ms
+    # of serialized scatter at bench capacities, every keyframe)
+    row = kfs.obs_lm[best]
+    row_ok = do & kfs.feat_valid[best] & (row >= 0)
+    sub = (
+        jnp.zeros((L + 1,), jnp.int32)
+        .at[jnp.where(row_ok, jnp.clip(row, 0, L - 1), L)]
+        .add(1, mode="drop")[:L]
+    )
+    lms2 = m.lms._replace(n_obs=jnp.maximum(m.lms.n_obs - sub, 0))
+    return m._replace(
         kfs=kfs._replace(
             valid=valid, parent=new_parent, obs_lm=obs_lm,
             cull_parent=cull_parent, cull_seq=cull_seq,
             cull_R=cull_R, cull_t=cull_t,
         ),
         covis=covis,
+        lms=lms2,
     )
-    return recount_lm_obs(m)
 
 
 @functools.partial(

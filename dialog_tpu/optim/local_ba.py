@@ -102,31 +102,48 @@ def build_problem(
     cam_slots = jnp.where(cam_valid, cam_slots, K)
 
     # --- bucket observations per landmark ---------------------------------
+    # rank-by-presence-cumsum instead of an argsort over [C*F] (XLA TPU
+    # sorts are the most expensive op of the build): a feature's slot in
+    # its landmark's observation list = how many EARLIER cameras observe
+    # that landmark (a landmark is associated to at most one feature per
+    # keyframe, so within-row order never matters)
     rows = m.kfs.obs_lm[jnp.clip(cam_slots, 0, K - 1)]     # [C, F]
     rows_ok = (
         cam_valid[:, None]
         & m.kfs.feat_valid[jnp.clip(cam_slots, 0, K - 1)]
         & (rows >= 0)
     )
-    li_flat = jnp.where(rows_ok, inv[jnp.clip(rows, 0, L - 1)], P)
-    li_flat = jnp.where(li_flat < P, li_flat, P).reshape(-1)   # [C*F]
-    order = jnp.argsort(li_flat)
-    sorted_li = li_flat[order]
-    first = jnp.searchsorted(sorted_li, sorted_li, side="left")
-    rank = jnp.arange(sorted_li.shape[0]) - first
-    keep = (sorted_li < P) & (rank < O)
-    tgt_l = jnp.where(keep, sorted_li, P)
-    tgt_o = jnp.where(keep, rank, 0)
+    li = jnp.where(rows_ok, inv[jnp.clip(rows, 0, L - 1)], P)  # [C, F]
+    flat_idx = (
+        jnp.arange(C, dtype=jnp.int32)[:, None] * (P + 1) + li
+    ).reshape(-1)
+    pres = (
+        jnp.zeros((C * (P + 1),), jnp.int32)
+        .at[flat_idx]
+        .add(1)
+        .reshape(C, P + 1)
+    )
+    rank_tab = jnp.cumsum(pres, axis=0) - pres             # exclusive over C
+    rank = rank_tab.reshape(-1)[flat_idx].reshape(C, F)
+    keep = (li < P) & (rank < O)
+    tgt_l = jnp.where(keep, li, P).reshape(-1)
+    tgt_o = jnp.where(keep, rank, 0).reshape(-1)
 
-    cam_of = (order // F).astype(jnp.int32)
-    feat_of = (order % F).astype(jnp.int32)
+    cam_of = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[:, None], (C, F)
+    ).reshape(-1)
+    feat_of = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[None, :], (C, F)
+    ).reshape(-1)
     obs_cam = jnp.full((P, O), C, jnp.int32).at[tgt_l, tgt_o].set(
         cam_of, mode="drop"
     )
     obs_feat = jnp.full((P, O), 0, jnp.int32).at[tgt_l, tgt_o].set(
         feat_of, mode="drop"
     )
-    obs_ok = jnp.zeros((P, O), bool).at[tgt_l, tgt_o].set(keep, mode="drop")
+    obs_ok = jnp.zeros((P, O), bool).at[tgt_l, tgt_o].set(
+        keep.reshape(-1), mode="drop"
+    )
 
     uv_all = m.kfs.uv[jnp.clip(cam_slots, 0, K - 1)]       # [C, F, 2]
     oct_all = m.kfs.octave[jnp.clip(cam_slots, 0, K - 1)]
@@ -184,17 +201,21 @@ def _robust_weights(r, w_info, ok, delta2):
     return w, cost, chi2
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "iters"))
+@functools.partial(jax.jit, static_argnames=("cfg", "iters", "use_kernel"))
 def solve_ba(
     prob: BAProblem,
     cfg: EngineConfig,
     iters: int = 10,
     chi2_th: float = 5.991,
     lam0: float = 1e-4,
+    use_kernel: bool | None = None,
 ):
     """Damped Schur-complement LM over the extracted problem.
 
-    Returns (R [C,3,3], t [C,3], xyz [P,3], final robust cost).
+    ``use_kernel`` selects the fused Pallas reduction (None = automatic:
+    on when the Pallas path is enabled and the problem fits — see
+    kernels/schur.available). Returns (R [C,3,3], t [C,3], xyz [P,3],
+    final robust cost).
     """
     fx, fy, cx, cy = cfg.fx, cfg.fy, cfg.cx, cfg.cy
     C = prob.cam_slots.shape[0]
@@ -208,7 +229,14 @@ def solve_ba(
         _, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
         return cost
 
-    def step(R, t, xyz, lam):
+    O_ = prob.obs_cam.shape[1]
+    from ..kernels import schur as schur_kernel
+
+    if use_kernel is None:
+        use_kernel = schur_kernel.available(C, P, O_)
+
+    def _reduce_jnp(R, t, xyz, lam):
+        """Reference einsum reduction (CPU path / kernel fallback)."""
         r, J_c, J_l, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy)
         w, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
         # freeze non-optimized cameras by zeroing their pose Jacobians
@@ -229,17 +257,12 @@ def solve_ba(
         Ld_inv = tri_inv3x3_lower(Ld)
         Hll_inv = jnp.einsum("pki,pkj->pij", Ld_inv, Ld_inv)
 
-        # camera-side reductions. Two codepaths with identical math:
-        # * one-hot matmul (MXU): observations scatter into cameras via a
-        #   [P, O, C+1] selection tensor — all reductions become
-        #   contractions, which is what the TPU is fast at (serialized
-        #   scatter-adds were the dominant device cost of a keyframe).
-        #   The Schur pair term uses the Cholesky split
-        #   Hll^-1 = Lh Lh^T:  S_red = Z Z^T with Z = sum_o E (Y Lh).
-        # * scatter fallback for problem sizes where the Z tensor
-        #   ([P, C+1, 6, 3]) would not fit (global BA at full capacity).
-        O = prob.obs_cam.shape[1]
-        P = prob.lm_ids.shape[0]
+        # camera-side reductions as one-hot matmuls (MXU): observations
+        # scatter into cameras via a [P, O, C+1] selection tensor — all
+        # reductions become contractions, which is what the TPU is fast at
+        # (serialized scatter-adds were the dominant device cost of a
+        # keyframe). The Schur pair term uses the Cholesky split
+        # Hll^-1 = Lh Lh^T:  S_pair = Z Z^T with Z = sum_o E (Y Lh).
         Hcc_blk = jnp.einsum("poki,po,pokj->poij", J_c, w, J_c)  # [P,O,6,6]
         g_c_blk = jnp.einsum("poki,po,pok->poi", J_c, w, r)      # [P,O,6]
         Y = jnp.einsum("poki,po,pokj->poij", J_c, w, J_l)        # [P,O,6,3]
@@ -247,8 +270,6 @@ def solve_ba(
         gt_blk = jnp.einsum("poij,pj->poi", YHinv, g_l)          # [P,O,6]
 
         cam_c = jnp.clip(prob.obs_cam, 0, C)
-        # square root of Hll_inv for the Z Z^T split: Lh = Ld^-T, since
-        # Lh Lh^T = Ld^-T Ld^-1 = Hll_inv.  Bounded: diag(Z Z^T) <= diag(Hcc)
         Lh = jnp.swapaxes(Ld_inv, -1, -2)                        # [P,3,3]
         YL = jnp.einsum("poij,pjk->poik", Y, Lh)                 # [P,O,6,3]
 
@@ -303,10 +324,23 @@ def solve_ba(
                 (resh(cam_c), resh(ok), resh(Hcc_blk), resh(g_c_blk),
                  resh(gt_blk), resh(YL)),
             )
-        Hcc = Hcc_f[:C]
-        g_c = g_c_f[:C]
-        g_red = g_red_f[:C]
-        S_red = jnp.transpose(S_f, (0, 2, 1, 3))[:C, :C]
+        S_pair = S_f[:C, :, :C, :]                       # [c, i, d, j]
+        return Hll_inv, g_l, Y, Hcc_f[:C], g_c_f[:C], g_red_f[:C], S_pair
+
+    def step(R, t, xyz, lam):
+        if use_kernel:
+            # fused Pallas reduction (kernels/schur.py): same damping and
+            # robust-weight math, no [P,O,...] HBM intermediates
+            Hll_inv, g_l, Y, Hcc, g_c, g_red, S_pair = schur_kernel.schur_reduce(
+                R, t, prob.cam_opt, xyz, prob.obs_cam, prob.obs_uv,
+                prob.obs_w, lam, fx, fy, cx, cy, delta2=delta2,
+            )
+            cost = jnp.float32(0.0)   # unused: the LM loop re-evaluates cost
+        else:
+            Hll_inv, g_l, Y, Hcc, g_c, g_red, S_pair = _reduce_jnp(
+                R, t, xyz, lam
+            )
+            cost = jnp.float32(0.0)
 
         # assemble dense reduced system [6C, 6C]
         dcc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)              # [C, 6]
@@ -318,7 +352,7 @@ def solve_ba(
             .at[jnp.arange(C), :, jnp.arange(C), :]
             .set(Hcc_d)
         )
-        S = S - jnp.transpose(S_red, (0, 2, 1, 3))
+        S = S - S_pair
         S = S.reshape(6 * C, 6 * C)
         rhs = -(g_c - g_red).reshape(-1)
 
@@ -330,9 +364,8 @@ def solve_ba(
         dc = jnp.linalg.solve(S, rhs).reshape(C, 6)
 
         # back-substitute landmarks: dl = Hll^-1 (-g_l - sum_o Y_o^T dc_{c_o})
-        dc_per_obs = jnp.where(
-            ok[..., None], dc[jnp.clip(prob.obs_cam, 0, C - 1)], 0.0
-        )                                                        # [P,O,6]
+        # (Y is exactly zero for invalid observations, so no extra mask)
+        dc_per_obs = dc[jnp.clip(prob.obs_cam, 0, C - 1)]        # [P,O,6]
         cross = jnp.einsum("poij,poi->pj", Y, dc_per_obs)        # [P,3]
         dl = jnp.einsum("pij,pj->pi", Hll_inv, -g_l - cross)
 

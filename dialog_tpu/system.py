@@ -1035,8 +1035,20 @@ class Engine:
         desc = kfs.desc.reshape(K * F, 8)
         valid = (kfs.feat_valid & kfs.valid[:, None]).reshape(K * F)
         self._key, sub = jax.random.split(self._key)
+        # retrains warm-start from the current codebook (k-medians converges
+        # fast from a near-solution); fresh trains seed from a random sample
+        # computed HERE so both calls share one jit signature — a doubling
+        # retrain mid-sequence must never pay a fresh compile
+        W = self.cfg.vocab_words
+        if self._vocab is None:
+            p = valid.astype(jnp.float32)
+            p = p / jnp.maximum(jnp.sum(p), 1.0)
+            self._key, sub2 = jax.random.split(self._key)
+            init = desc[jax.random.choice(sub2, K * F, (W,), replace=True, p=p)]
+        else:
+            init = self._vocab.words
         self._vocab = _vocab.train_vocab(
-            desc, valid, sub, n_words=self.cfg.vocab_words, iters=6
+            desc, valid, sub, n_words=W, iters=4, init_words=init
         )
         self._vocab_trained_kfs = self.kf_count
         # idf from the keyframe corpus: one quantize pass over every KF's
@@ -1047,10 +1059,12 @@ class Engine:
             jnp.arange(K, dtype=jnp.int32)[:, None], (K, F)
         ).reshape(-1)
         self._vocab = _vocab.compute_idf(self._vocab, wid, doc_ids, K)
-        # (re)build BoW rows for existing keyframes under the new codebook
-        self._bow_db = jnp.zeros((K, self.cfg.vocab_words), jnp.float32)
-        for k in np.nonzero(self._kf_slot_view())[0]:
-            self._update_bow_row(int(k))
+        # (re)build BoW rows for existing keyframes under the new codebook —
+        # one batched pass (a per-row host loop is ~5x the device time and
+        # lands inside the benchmark's timed region at every retrain)
+        self._bow_db = _vocab.bow_db_rows(
+            self._vocab, kfs.desc, kfs.feat_valid & kfs.valid[:, None]
+        )
 
     def _update_bow_row(self, slot: int):
         from . import vocab as _vocab

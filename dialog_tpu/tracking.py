@@ -271,11 +271,16 @@ def fused_track_multi(
     """
 
     L = m.lms.xyz.shape[0]
+    # the local candidate set depends only on (map, ref_kf), both frozen for
+    # the whole batch — hoist its [K,F]-scatter + nonzero out of the scan
+    # instead of trusting XLA to move loop-invariant scatters
+    local_ids = local_landmark_ids(m, ref_kf, cfg)
 
     def body(carry, frame):
         lm_ids, R, t, Rp, tp, hv, vis_acc, found_acc = carry
         R2, t2, lm2, packed, (vis_inc, found_inc) = _auto_step(
-            m, lm_ids, frame, R, t, Rp, tp, hv, ref_kf, cfg, use_stereo
+            m, lm_ids, frame, R, t, Rp, tp, hv, ref_kf, cfg, use_stereo,
+            local_ids=local_ids,
         )
         return (
             lm2, R2, t2, R, t, jnp.asarray(True),
@@ -290,7 +295,8 @@ def fused_track_multi(
     return R_l, t_l, R_p, t_p, lm_l, packed, (vis_acc, found_acc)
 
 
-def _auto_step(m, lm_ids, frame, R, t, Rp, tp, hv, ref_kf, cfg, use_stereo):
+def _auto_step(m, lm_ids, frame, R, t, Rp, tp, hv, ref_kf, cfg, use_stereo,
+               local_ids=None):
     """Un-jitted body shared by fused_track_step_auto and fused_track_multi."""
     Rv = geo.orthogonalize(R @ jnp.swapaxes(Rp, -1, -2))
     tv = t - Rv @ tp
@@ -298,7 +304,7 @@ def _auto_step(m, lm_ids, frame, R, t, Rp, tp, hv, ref_kf, cfg, use_stereo):
     t_pred = jnp.where(hv, Rv @ t + tv, t)
     return fused_track_step(
         m, lm_ids, frame, R_pred, t_pred, R, t, ref_kf, cfg,
-        use_stereo=use_stereo,
+        use_stereo=use_stereo, local_ids=local_ids,
     )
 
 
@@ -314,6 +320,7 @@ def fused_track_step(
     ref_kf: jax.Array,
     cfg: EngineConfig,
     use_stereo: bool = False,
+    local_ids: jax.Array | None = None,
 ):
     """The whole per-frame tracking pipeline in ONE device dispatch.
 
@@ -366,7 +373,8 @@ def fused_track_step(
     )
     lm_ids = jnp.where(res.inlier, lm_ids, INVALID_ID)
 
-    local_ids = local_landmark_ids(m, ref_kf, cfg)
+    if local_ids is None:
+        local_ids = local_landmark_ids(m, ref_kf, cfg)
     lm_ids, _, in_frustum = track_local_map_match(
         m, local_ids, frame, lm_ids, res.R, res.t, cfg
     )

@@ -56,6 +56,7 @@ def train_vocab(
     n_words: int = 4096,
     iters: int = 8,
     chunk: int = 8192,
+    init_words: jax.Array | None = None,
 ) -> Vocabulary:
     """Binary k-medians: assign by Hamming argmin, centroid = per-bit majority.
 
@@ -64,13 +65,21 @@ def train_vocab(
     matmuls, chunked over N (the naive pairwise-popcount form materializes an
     [N, W, 8] tensor — gigabytes of HBM traffic at map scale — and the
     scatter-add centroid update serializes on TPU).
+
+    ``init_words`` seeds the solve (an existing codebook for the doubling
+    retrain, or any sample for a fresh train) — passing it keeps the jit
+    signature identical across fresh trains and retrains, so a mid-sequence
+    retrain never triggers a fresh multi-second compile.
     """
     N = desc.shape[0]
-    # init: random sample of valid descriptors
-    p = valid.astype(jnp.float32)
-    p = p / jnp.maximum(jnp.sum(p), 1.0)
-    idx = jax.random.choice(key, N, (n_words,), replace=True, p=p)
-    words = desc[idx]
+    if init_words is not None:
+        words = init_words
+    else:
+        # init: random sample of valid descriptors
+        p = valid.astype(jnp.float32)
+        p = p / jnp.maximum(jnp.sum(p), 1.0)
+        idx = jax.random.choice(key, N, (n_words,), replace=True, p=p)
+        words = desc[idx]
 
     pad = (-N) % chunk
     desc_c = jnp.pad(desc, ((0, pad), (0, 0))).reshape(-1, chunk, 8)
@@ -84,13 +93,22 @@ def train_vocab(
             ssum, cnt = carry
             dc, vc = xs
             b = _unpack_bits(dc)                         # [C, 256]
-            dots = jnp.dot(b, wbits.T)                   # [C, W]  (MXU)
+            # bf16 operands are exact here (0/1 bits; dot values <= 256 are
+            # exactly representable) and run the MXU at its fast rate;
+            # accumulation stays f32 via preferred_element_type
+            dots = jnp.dot(
+                b.astype(jnp.bfloat16), wbits.astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.float32,
+            )                                            # [C, W]  (MXU)
             d = jnp.sum(b, -1)[:, None] + wsum[None, :] - 2.0 * dots
             assign = jnp.argmin(d, axis=1)
-            E = jax.nn.one_hot(assign, n_words, dtype=jnp.float32)
-            E = E * vc[:, None].astype(jnp.float32)
-            ssum = ssum + jnp.dot(E.T, b)                # [W, 256] (MXU)
-            cnt = cnt + jnp.sum(E, axis=0)
+            E = jax.nn.one_hot(assign, n_words, dtype=jnp.bfloat16)
+            E = E * vc[:, None].astype(jnp.bfloat16)
+            ssum = ssum + jnp.dot(
+                E.T, b.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )                                            # [W, 256] (MXU)
+            cnt = cnt + jnp.sum(E.astype(jnp.float32), axis=0)
             return (ssum, cnt), None
 
         init = (jnp.zeros((n_words, 256)), jnp.zeros((n_words,)))
@@ -104,13 +122,58 @@ def train_vocab(
     return Vocabulary(words=words, idf=jnp.ones((n_words,), jnp.float32))
 
 
-@jax.jit
-def quantize(vocab: Vocabulary, desc: jax.Array, valid: jax.Array) -> jax.Array:
-    """Descriptors -> word ids (W = invalid sentinel). One batched argmin."""
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def quantize(
+    vocab: Vocabulary, desc: jax.Array, valid: jax.Array, chunk: int = 8192
+) -> jax.Array:
+    """Descriptors -> word ids (W = invalid sentinel). One batched argmin.
+
+    Contraction form: Hamming(a, w) = |a| + |w| - 2 a.w over unpacked bits,
+    so the [N, W] distance matrix is one (chunked) bf16 MXU matmul — the
+    pairwise-popcount form materializes an [N, W, 8] tensor, which at
+    whole-map sizes (N = K*F) is gigabytes. bf16 is exact here: operands
+    are 0/1 and dot values <= 256.
+    """
+    N = desc.shape[0]
+    chunk = max(1, min(chunk, N))   # static: no padding waste on small inputs
     W = vocab.words.shape[0]
-    d = _hamming(desc, vocab.words)
-    wid = jnp.argmin(d, axis=1).astype(jnp.int32)
+    wbits = _unpack_bits(vocab.words)                    # [W, 256]
+    wsum = jnp.sum(wbits, axis=-1)
+    wb16 = wbits.astype(jnp.bfloat16).T
+
+    pad = (-N) % chunk
+    desc_c = jnp.pad(desc, ((0, pad), (0, 0))).reshape(-1, chunk, 8)
+
+    def body(_, dc):
+        b = _unpack_bits(dc)
+        dots = jnp.dot(
+            b.astype(jnp.bfloat16), wb16, preferred_element_type=jnp.float32
+        )
+        d = jnp.sum(b, -1)[:, None] + wsum[None, :] - 2.0 * dots
+        return None, jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    _, wid = jax.lax.scan(body, None, desc_c)
+    wid = wid.reshape(-1)[:N]
     return jnp.where(valid, wid, W)
+
+
+@jax.jit
+def bow_db_rows(vocab: Vocabulary, desc: jax.Array, valid: jax.Array) -> jax.Array:
+    """BoW rows for every keyframe in one pass.
+
+    desc u32[K, F, 8], valid bool[K, F] -> f32[K, W] l1-normalized tf-idf.
+    Replaces a per-keyframe host loop over ``bow_vector`` when the whole
+    database is rebuilt (vocabulary retrain): one quantize sweep + one
+    scatter-add histogram.
+    """
+    K, F, _ = desc.shape
+    W = vocab.words.shape[0]
+    wid = quantize(vocab, desc.reshape(K * F, 8), valid.reshape(K * F))
+    doc = jnp.repeat(jnp.arange(K, dtype=jnp.int32), F)
+    flat = doc * (W + 1) + wid
+    tf = jnp.zeros((K * (W + 1),)).at[flat].add(1.0).reshape(K, W + 1)[:, :W]
+    v = tf * vocab.idf[None, :]
+    return v / jnp.maximum(jnp.sum(jnp.abs(v), axis=1, keepdims=True), 1e-9)
 
 
 @jax.jit

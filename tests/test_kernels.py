@@ -82,6 +82,15 @@ class TestPallasInterpret:
         res = selfcheck.check_fast(h=96, w=150)
         assert all(res.values()), res
 
+    def test_schur_kernel_matches_einsum_path(self, monkeypatch):
+        # the fused Jacobian/Schur reduction must reproduce the einsum
+        # reduction through the full solve (tolerance: f32 order effects)
+        monkeypatch.setenv("DIALOG_TPU_PALLAS_INTERPRET", "1")
+        from dialog_tpu.kernels import selfcheck
+
+        res = selfcheck.check_schur()
+        assert all(res.values()), res
+
     def test_hamming_tiebreak_lowest_index(self, monkeypatch):
         # equal-distance ties must resolve to the LOWEST column index on
         # every backend (jnp.argmin first-occurrence semantics); this was
