@@ -73,13 +73,8 @@ def check_schur(seed=0) -> dict:
     Tolerance-based (f32 contraction orders differ); the comparison runs
     the full LM loop so damping/acceptance interplay is covered too.
     """
-    import sys
-    import os
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../../tests"))
-    from test_local_ba import CFG, make_problem
-
     from ..optim.local_ba import solve_ba
+    from ..optim.synth_problem import FIXTURE_CFG as CFG, make_problem
 
     prob, Rs, ts, pts, n_cams, n_pts = make_problem(seed=seed)
     Rk, tk, xk, _ = solve_ba(prob, CFG, iters=5, use_kernel=True)

@@ -49,6 +49,12 @@ class BAProblem(NamedTuple):
     obs_w: jax.Array       # f32[P, O] information (inv sigma2)
     obs_ok: jax.Array      # bool[P, O]
     obs_feat: jax.Array    # i32[P, O] feature index (for outlier write-back)
+    # stereo right-x per observation; < 0 = monocular observation. None (the
+    # default) means a mono-only problem: residuals stay 2-row (u, v). When
+    # present and cfg.bf > 0, observations with obs_ur >= 0 contribute the
+    # 3-row (u, v, uR) residual of g2o's EdgeStereoSE3ProjectXYZ — the
+    # reference's LocalBundleAdjustment/GBA stereo edges (VERDICT r4 #2).
+    obs_ur: jax.Array | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -147,9 +153,11 @@ def build_problem(
 
     uv_all = m.kfs.uv[jnp.clip(cam_slots, 0, K - 1)]       # [C, F, 2]
     oct_all = m.kfs.octave[jnp.clip(cam_slots, 0, K - 1)]
+    ur_all = m.kfs.u_right[jnp.clip(cam_slots, 0, K - 1)]
     safe_cam = jnp.clip(obs_cam, 0, C - 1)
     obs_uv = uv_all[safe_cam, obs_feat]                     # [P, O, 2]
     obs_oct = oct_all[safe_cam, obs_feat]
+    obs_ur = jnp.where(obs_ok, ur_all[safe_cam, obs_feat], -1.0)
     obs_w = cfg.scale_factor ** (-2.0 * obs_oct.astype(jnp.float32))
     obs_w = jnp.where(obs_ok, obs_w, 0.0)
 
@@ -165,22 +173,63 @@ def build_problem(
         obs_w=obs_w,
         obs_ok=obs_ok,
         obs_feat=obs_feat,
+        obs_ur=obs_ur,
     )
 
 
-def _residuals(prob: BAProblem, R, t, xyz, fx, fy, cx, cy):
-    """All-observation residuals/Jacobians: [P, O, ...]."""
+def _use_stereo(prob: BAProblem, cfg: EngineConfig) -> bool:
+    """Static (trace-time) decision: does this problem carry stereo rows?"""
+    return prob.obs_ur is not None and cfg.bf > 0
+
+
+def _residuals(prob: BAProblem, R, t, xyz, fx, fy, cx, cy, bf: float = 0.0):
+    """All-observation residuals/Jacobians: [P, O, D, ...] (D = 2 mono, 3 stereo).
+
+    With ``bf > 0`` and ``prob.obs_ur`` present, observations whose
+    ``obs_ur >= 0`` get the third (uR) residual row; mono observations have
+    that row and its Jacobian zeroed (reference: g2o's mixed
+    EdgeSE3ProjectXYZ / EdgeStereoSE3ProjectXYZ graphs).
+    """
     C = prob.cam_slots.shape[0]
     safe_cam = jnp.clip(prob.obs_cam, 0, C - 1)
     Ro = R[safe_cam]                                  # [P, O, 3, 3]
     to = t[safe_cam]
     X = jnp.broadcast_to(xyz[:, None, :], prob.obs_uv.shape[:2] + (3,))
+    if prob.obs_ur is not None and bf > 0:
+        uvr_hat, z, J_pose, J_point = geo.stereo_project_jacobians(
+            Ro, to, X, fx, fy, cx, cy, bf
+        )
+        obs = jnp.concatenate(
+            [prob.obs_uv, prob.obs_ur[..., None]], axis=-1
+        )
+        r = uvr_hat - obs
+        has_ur = prob.obs_ur >= 0.0
+        r = r.at[..., 2].set(jnp.where(has_ur, r[..., 2], 0.0))
+        J_pose = J_pose.at[..., 2, :].set(
+            jnp.where(has_ur[..., None], J_pose[..., 2, :], 0.0)
+        )
+        J_point = J_point.at[..., 2, :].set(
+            jnp.where(has_ur[..., None], J_point[..., 2, :], 0.0)
+        )
+        ok = prob.obs_ok & (z > 1e-3)
+        return r, J_pose, J_point, ok
     uv_hat, z, J_pose, J_point = geo.project_jacobians(
         Ro, to, X, fx, fy, cx, cy
     )
     r = uv_hat - prob.obs_uv
     ok = prob.obs_ok & (z > 1e-3)
     return r, J_pose, J_point, ok
+
+
+def _delta2_of(prob: BAProblem, cfg: EngineConfig, chi2_th):
+    """Per-observation Huber delta^2: chi2_stereo for 3-row edges.
+
+    Reference: delta = sqrt(5.991) for mono edges, sqrt(7.815) for stereo
+    ones in LocalBundleAdjustment / GlobalBundleAdjustemnt.
+    """
+    if _use_stereo(prob, cfg):
+        return jnp.where(prob.obs_ur >= 0.0, cfg.chi2_stereo, chi2_th)
+    return chi2_th
 
 
 def _robust_weights(r, w_info, ok, delta2):
@@ -220,12 +269,14 @@ def solve_ba(
     fx, fy, cx, cy = cfg.fx, cfg.fy, cfg.cx, cfg.cy
     C = prob.cam_slots.shape[0]
     P = prob.lm_ids.shape[0]
-    delta2 = chi2_th
+    use_stereo = _use_stereo(prob, cfg)
+    bf = cfg.bf if use_stereo else 0.0
+    delta2 = _delta2_of(prob, cfg, chi2_th)
 
     cam_opt6 = jnp.repeat(prob.cam_opt, 6)          # [6C]
 
     def cost_of(R, t, xyz):
-        r, _, _, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy)
+        r, _, _, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy, bf)
         _, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
         return cost
 
@@ -233,11 +284,18 @@ def solve_ba(
     from ..kernels import schur as schur_kernel
 
     if use_kernel is None:
-        use_kernel = schur_kernel.available(C, P, O_)
+        # the fused Pallas reduction is 2-row mono-only; stereo problems
+        # route through the einsum/PCG path (VERDICT r4 directive 2)
+        use_kernel = schur_kernel.available(C, P, O_) and not use_stereo
+    elif use_kernel and use_stereo:
+        raise ValueError(
+            "the fused Pallas Schur kernel has no stereo (3-row) edge path; "
+            "call solve_ba with use_kernel=False for stereo problems"
+        )
 
     def _reduce_jnp(R, t, xyz, lam):
         """Reference einsum reduction (CPU path / kernel fallback)."""
-        r, J_c, J_l, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy)
+        r, J_c, J_l, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy, bf)
         w, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
         # freeze non-optimized cameras by zeroing their pose Jacobians
         J_c = jnp.where(prob.cam_opt[jnp.clip(prob.obs_cam, 0, C - 1)][..., None, None], J_c, 0.0)
@@ -423,12 +481,14 @@ def write_back(
     lm_tgt = jnp.where(prob.lm_ids < L, prob.lm_ids, L)
     lms = m.lms._replace(xyz=m.lms.xyz.at[lm_tgt].set(xyz, mode="drop"))
 
-    # outlier observations at the optimized state
+    # outlier observations at the optimized state (stereo edges classify
+    # against chi2_stereo, as the reference's post-BA erase does)
+    bf = cfg.bf if _use_stereo(prob, cfg) else 0.0
     r, _, _, ok = _residuals(
-        prob, R, t, xyz, cfg.fx, cfg.fy, cfg.cx, cfg.cy
+        prob, R, t, xyz, cfg.fx, cfg.fy, cfg.cx, cfg.cy, bf
     )
     chi2 = jnp.sum(r * r, -1) * prob.obs_w
-    bad = ok & (chi2 > chi2_th)
+    bad = ok & (chi2 > _delta2_of(prob, cfg, chi2_th))
     cam_slot_of_obs = prob.cam_slots[jnp.clip(prob.obs_cam, 0, C - 1)]
     k_idx = jnp.where(bad, cam_slot_of_obs, K).reshape(-1)
     f_idx = prob.obs_feat.reshape(-1)

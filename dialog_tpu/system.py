@@ -89,7 +89,12 @@ class Engine:
         self.kf_interval = cfg.max_frames_between_kf
         # saturation accounting (SURVEY.md §5 "no silent caps"): capacity
         # events are counted and exposed; attach a RunLogger to get events
-        self.stats = {"lm_dropped": 0, "kf_slot_full": 0}
+        self.stats = {
+            "lm_dropped": 0,
+            "kf_slot_full": 0,
+            "gba_obs_dropped": 0,
+            "gba_runs": 0,
+        }
         self.logger = None  # optional instrument.RunLogger
         # init bookkeeping
         self._init_frame: Optional[FrameArrays] = None
@@ -112,6 +117,15 @@ class Engine:
         self._loop = LoopCloser(cfg)
         self.loop_closing_enabled = True
         self.localization_only = False
+        # asynchronous loop-closure GBA (reference: the transient
+        # RunGlobalBundleAdjustment thread): the full-map refinement after a
+        # loop correction is chunked into one LM iteration per tracked
+        # batch, so tracking never stalls behind a multi-second solve; the
+        # result folds into the live map via fold_gba_result (spanning-tree
+        # re-anchor for keyframes/landmarks created meanwhile)
+        self.gba_async = True
+        self.gba_iters = 8
+        self._gba: dict | None = None
         # multi-chip scaling axis (SURVEY.md §2.3): when more than one device
         # is visible, global BA shards its landmark axis over this mesh; XLA
         # inserts the cross-shard reductions (psum over ICI) when per-shard
@@ -181,6 +195,7 @@ class Engine:
 
     def track_features(self, frame: FrameArrays, timestamp: float) -> FrameRecord:
         """Track a pre-extracted feature frame (also the synthetic-data entry)."""
+        self._gba_tick()
         if self.state == NOT_INITIALIZED:
             rec = self._initialize(frame, timestamp)
         else:
@@ -258,6 +273,10 @@ class Engine:
         FrameRecords resolved by this call (possibly empty).
         """
         B = len(timestamps)
+        if self.state == OK:
+            # advance any in-flight loop-closure GBA by one chunk; the
+            # chunk's device work interleaves between batch dispatches
+            self._gba_tick()
         if self.state != OK or self._last_lm_ids is None:
             # per-frame until healthy; the NEXT full batch re-enters batched
             # mode. (Never call track_batch on a partial batch: every distinct
@@ -439,6 +458,8 @@ class Engine:
             self._resolve_oldest()
         while getattr(self, "_pending_b", None):
             self._resolve_batch()
+        while self._gba is not None:
+            self._gba_tick()
         self._dev_state = None
 
     def _resolve_oldest(self):
@@ -574,6 +595,7 @@ class Engine:
         (reference has no map save/load at all — SURVEY.md §5)."""
         from .containers import load_map
 
+        self._gba = None   # an in-flight GBA belongs to the old map
         self.flush()
         self._bake_all_records()
         self.m = load_map(self.cfg, path)
@@ -605,6 +627,7 @@ class Engine:
 
     def reset(self) -> None:
         """Clear the map and start over (reference: System::Reset)."""
+        self._gba = None   # abandon, don't drain, an in-flight GBA
         self.flush()
         self._bake_all_records()
         self.m = empty_map(self.cfg)
@@ -1058,7 +1081,9 @@ class Engine:
         doc_ids = jnp.broadcast_to(
             jnp.arange(K, dtype=jnp.int32)[:, None], (K, F)
         ).reshape(-1)
-        self._vocab = _vocab.compute_idf(self._vocab, wid, doc_ids, K)
+        self._vocab = _vocab.compute_idf(
+            self._vocab, wid, doc_ids, K, n_live=jnp.sum(kfs.valid)
+        )
         # (re)build BoW rows for existing keyframes under the new codebook —
         # one batched pass (a per-row host loop is ~5x the device time and
         # lands inside the benchmark's timed region at every retrain)
@@ -1295,14 +1320,24 @@ class Engine:
             lc = self._loop.compute_sim3(self.m, det_kf, c, sub)
             if lc is None:
                 continue
+            # a GBA still in flight optimized the pre-correction graph:
+            # abandon it (reference: mbStopGBA aborts the running thread
+            # before CorrectLoop relaunches a fresh one)
+            self._gba = None
             self.m = self._loop.correct(self.m, det_kf, lc, self.cfg)
             # refine the whole map after the topological correction;
             # landmark-sharded over the device mesh when one is available
-            from .optim.global_ba import global_bundle_adjustment
+            if self.gba_async:
+                # chunked across subsequent tracked batches (reference: the
+                # transient RunGlobalBundleAdjustment thread)
+                self._start_gba(self.gba_iters)
+            else:
+                from .optim.global_ba import global_bundle_adjustment
 
-            self.m = global_bundle_adjustment(
-                self.m, self.cfg, iters=8, mesh=self.mesh
-            )
+                self.m = global_bundle_adjustment(
+                    self.m, self.cfg, iters=8, mesh=self.mesh,
+                    stats=self.stats,
+                )
             # resume tracking from the corrected latest-keyframe pose
             self._last_R = np.asarray(self.m.kfs.R[self.ref_kf])
             self._last_t = np.asarray(self.m.kfs.t[self.ref_kf])
@@ -1310,3 +1345,69 @@ class Engine:
             # in-flight device tracking state predates the correction
             self._dev_state = None
             break
+
+    # --- asynchronous loop-closure GBA --------------------------------
+
+    def _start_gba(self, iters: int) -> None:
+        """Snapshot the map and start a chunked full-map BA.
+
+        Reference: ``LoopClosing::CorrectLoop`` launching
+        ``RunGlobalBundleAdjustment`` on a transient thread. Here the solve
+        advances one LM iteration per tracked batch (``_gba_tick``) so the
+        per-frame stall is bounded by one PCG chunk instead of the whole
+        multi-second solve, then merges via ``fold_gba_result``.
+        """
+        from .optim.global_ba import (
+            GBASnapshot,
+            build_global_problem,
+            shard_problem,
+        )
+        from .optim.schur_pcg import lm_init_pcg
+
+        prob, n_dropped = build_global_problem(self.m, self.cfg)
+        self.stats["gba_runs"] += 1
+        self.stats["gba_obs_dropped"] += int(n_dropped)
+        if self.logger is not None and int(n_dropped):
+            self.logger.event("gba_obs_dropped", n=int(n_dropped))
+        if self.mesh is not None:
+            prob = shard_problem(prob, self.mesh)
+        snap = GBASnapshot(self.m)
+        carry = lm_init_pcg(prob, self.cfg, chi2_th=self.cfg.chi2_mono)
+        self._gba = {"prob": prob, "snap": snap, "carry": carry,
+                     "left": int(iters)}
+
+    def _gba_tick(self) -> None:
+        """Advance the in-flight GBA by one LM iteration (async dispatch)."""
+        if self._gba is None:
+            return
+        from .optim.schur_pcg import lm_steps_pcg
+
+        g = self._gba
+        g["carry"] = lm_steps_pcg(
+            g["prob"], self.cfg, g["carry"], chi2_th=self.cfg.chi2_mono
+        )
+        g["left"] -= 1
+        if g["left"] <= 0:
+            self._finish_gba()
+
+    def _finish_gba(self) -> None:
+        """Fold the finished GBA into the live map and re-anchor tracking."""
+        from .optim.global_ba import fold_gba_result
+
+        g = self._gba
+        self._gba = None
+        R, t, xyz, _, _ = g["carry"]
+        R = geo.orthogonalize(R)
+        if self.mesh is not None:
+            dev = jax.devices()[0]
+            R, t, xyz = jax.device_put((R, t, xyz), dev)
+        snap = g["snap"]
+        self.m = fold_gba_result(
+            self.m, snap.kf_seq, snap.kf_valid, snap.lm_valid,
+            snap.lm_first_seq, snap.lm_ref, R, t, xyz,
+        )
+        self._last_R = np.asarray(self.m.kfs.R[self.ref_kf])
+        self._last_t = np.asarray(self.m.kfs.t[self.ref_kf])
+        self._vel = None
+        self._dev_state = None
+        self._refresh_kf_meta_blocking()

@@ -254,16 +254,27 @@ def load_dbow2_text(path: str, max_words: int | None = None) -> Vocabulary:
     return Vocabulary(words=words, idf=jnp.asarray(np.maximum(w, 1e-6)))
 
 
-def compute_idf(vocab: Vocabulary, word_ids: jax.Array, doc_ids: jax.Array, n_docs: int) -> Vocabulary:
-    """Refresh idf from a corpus: idf_w = log(n_docs / (1 + df_w)).
+def compute_idf(
+    vocab: Vocabulary,
+    word_ids: jax.Array,
+    doc_ids: jax.Array,
+    n_docs: int,
+    n_live=None,
+) -> Vocabulary:
+    """Refresh idf from a corpus: idf_w = log(n_live / (1 + df_w)).
 
-    (doc, word) pairs fit i32 at engine scales: n_docs <= max_keyframes
-    (2048 in the KITTI00 preset) times W+1 (vocab_words+1) stays far below
-    2^31.
+    ``n_docs`` is the (static, shape-determining) document-slot capacity;
+    ``n_live`` the live document count used in the idf formula — the
+    reference's df/N uses the live corpus size, and passing capacity here
+    inflated idf early in a run (ADVICE r4). May be a traced scalar so a
+    growing corpus never recompiles. (doc, word) pairs fit i32 at engine
+    scales: n_docs <= max_keyframes (2048 in the KITTI00 preset) times W+1
+    (vocab_words+1) stays far below 2^31.
     """
     W = vocab.words.shape[0]
     pair = doc_ids.astype(jnp.int32) * (W + 1) + word_ids.astype(jnp.int32)
     uniq = jnp.zeros(((n_docs) * (W + 1) + W + 1,), bool).at[pair].set(True)
     df = jnp.sum(uniq.reshape(-1, W + 1), axis=0)[:W].astype(jnp.float32)
-    idf = jnp.log(jnp.maximum(n_docs, 1) / (1.0 + df))
+    n = jnp.float32(n_docs) if n_live is None else n_live.astype(jnp.float32)
+    idf = jnp.log(jnp.maximum(n, 1.0) / (1.0 + df))
     return vocab._replace(idf=jnp.maximum(idf, 0.0))

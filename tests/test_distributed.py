@@ -9,6 +9,8 @@ collective — the closest a single machine gets to the N-host config.
 import os
 import socket
 import subprocess
+
+import pytest
 import sys
 import textwrap
 
@@ -65,6 +67,7 @@ WORKER = textwrap.dedent(
 )
 
 
+@pytest.mark.soak
 class TestMultiProcessBootstrap:
     def test_two_process_smoke(self, tmp_path):
         sock = socket.socket()

@@ -19,6 +19,8 @@ from dialog_tpu.eval.ate import ate_rmse
 from dialog_tpu.frontend import extract_features_batch
 from dialog_tpu.system import Engine, OK
 
+pytestmark = pytest.mark.soak
+
 CFG = EngineConfig(
     width=640, height=480, n_features=1000, max_features=1024,
     max_keyframes=64, max_landmarks=16384, max_local_lms=2048,

@@ -54,7 +54,7 @@ def engine_map():
 class TestShardedGlobalBA:
     def test_1dev_vs_8dev_parity(self, engine_map):
         m, cfg = engine_map
-        prob = build_global_problem(m, cfg)
+        prob, _ = build_global_problem(m, cfg)
 
         # single-device solve
         R1, t1, x1, c1 = solve_ba(prob, cfg, iters=5, chi2_th=cfg.chi2_mono)
@@ -78,7 +78,7 @@ class TestShardedGlobalBA:
     def test_sharded_ba_reduces_reprojection_error(self, engine_map):
         m, cfg = engine_map
         mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
-        prob = shard_problem(build_global_problem(m, cfg), mesh)
+        prob = shard_problem(build_global_problem(m, cfg)[0], mesh)
 
         def cost(R, t, xyz):
             from dialog_tpu.optim.local_ba import _residuals, _robust_weights

@@ -12,6 +12,7 @@ actually work at the scale the preset declares.
 import time
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dialog_tpu.config import KITTI00
@@ -23,6 +24,8 @@ from dialog_tpu.optim.global_ba import (
     global_bundle_adjustment,
 )
 from dialog_tpu.optim.local_ba import local_bundle_adjustment
+
+pytestmark = pytest.mark.soak
 
 CFG = KITTI00
 N_KF = 1100          # live keyframes (> 1k per the done-criterion)
@@ -175,7 +178,7 @@ class TestKittiCapacity:
         assert np.isfinite(np.asarray(m2.kfs.t[slot])).all()
 
         # --- one global-BA pass through the PCG path ---------------------
-        prob = build_global_problem(m2, CFG)
+        prob, _ = build_global_problem(m2, CFG)
         assert prob.cam_slots.shape[0] > DENSE_SCHUR_MAX_CAMS  # PCG selected
         t0 = time.time()
         m3 = global_bundle_adjustment(m2, CFG, iters=1)

@@ -8,6 +8,8 @@ from dialog_tpu.datasets import synth
 from dialog_tpu.eval.ate import ate_rmse
 from dialog_tpu.system import Engine, OK
 
+pytestmark = pytest.mark.soak
+
 CFG = EngineConfig(
     max_features=512,
     max_keyframes=96,

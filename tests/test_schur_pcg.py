@@ -10,7 +10,7 @@ import numpy as np
 from dialog_tpu.optim.local_ba import solve_ba
 from dialog_tpu.optim.schur_pcg import solve_ba_pcg
 
-from test_local_ba import CFG, make_problem
+from dialog_tpu.optim.synth_problem import FIXTURE_CFG as CFG, make_problem
 
 
 class TestSchurPCG:

@@ -8,10 +8,13 @@ cull-time re-anchor chain.
 """
 
 import numpy as np
+import pytest
 
 from dialog_tpu.config import EngineConfig
 from dialog_tpu.datasets import synth
 from dialog_tpu.system import Engine, OK
+
+pytestmark = pytest.mark.soak
 
 CFG = EngineConfig(
     max_features=512, max_keyframes=12, max_landmarks=4096,
