@@ -126,6 +126,7 @@ def run_kitti(args) -> None:
             ts, left, right = item
             eng.track_stereo(left, right, ts)
         times.append(time.perf_counter() - t0)
+    eng.flush()
     _finish(eng, times, args.out, "kitti")
 
 

@@ -223,6 +223,30 @@ def render_image(scene: SynthScene, frame: int, patch_r: int = 5) -> np.ndarray:
     return img
 
 
+def render_depth(scene: SynthScene, frame: int, patch_r: int = 5) -> np.ndarray:
+    """Depth map aligned with ``render_image``: f32[H, W] metres, 0 = none.
+
+    Each landmark's patch area carries its camera-frame depth (painter's
+    order like the intensity render), giving RGB-D ingestion a depth value
+    wherever the frontend will detect a corner.
+    """
+    cfg = scene.cfg
+    R, t = scene.R[frame], scene.t[frame]
+    Xc = scene.xyz @ R.T + t
+    z = Xc[:, 2]
+    u = cfg.fx * Xc[:, 0] / np.maximum(z, 1e-9) + cfg.cx
+    v = cfg.fy * Xc[:, 1] / np.maximum(z, 1e-9) + cfg.cy
+    depth = np.zeros((cfg.height, cfg.width), np.float32)
+    m = patch_r + 1
+    vis = (z > 0.1) & (u >= m) & (u < cfg.width - m) & (v >= m) & (v < cfg.height - m)
+    order = np.argsort(-z[vis])
+    idxs = np.nonzero(vis)[0][order]
+    for i in idxs:
+        x0, y0 = int(round(u[i])), int(round(v[i]))
+        depth[y0 - patch_r : y0 + patch_r + 1, x0 - patch_r : x0 + patch_r + 1] = z[i]
+    return depth
+
+
 def gt_relative_pose(scene: SynthScene, i: int, j: int):
     """T_ji: pose of frame j relative to frame i (X_j = R X_i + t)."""
     Ri, ti = scene.R[i], scene.t[i]

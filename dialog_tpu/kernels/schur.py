@@ -45,14 +45,16 @@ TP = 128          # landmarks per grid step
 MAX_CAMS = 136    # C+1 above this: VMEM-budget bound, fall back to jnp path
 
 
-def _kernel(fx, fy, cx, cy, O, C1,
-            params_ref, camtab_ref, cam_ref, u_ref, v_ref, w_ref,
+def _kernel(fx, fy, cx, cy, O, C1, use_stereo,
+            params_ref, camtab_ref, cam_ref, u_ref, v_ref, w_ref, ur_ref,
             x_ref, y_ref, z_ref,
             hllinv_ref, gl_ref, yout_ref, hcc_ref, gc_ref, gred_ref, s_ref,
             z2_scr):
     i = pl.program_id(0)
     lam = params_ref[0, 0]
     delta2 = params_ref[0, 1]
+    bf = params_ref[0, 2]
+    delta2_st = params_ref[0, 3]
     OTP = O * TP
 
     # one-hot camera membership: ET[c, m] = (obs_cam[m] == c)
@@ -88,9 +90,20 @@ def _kernel(fx, fy, cx, cy, O, C1,
     rx = fx * xc * iz + cx - u_obs
     ry = fy * yc * iz + cy - v_obs
     ok = (w_info > 0.0) & (zc > 1e-3)
-    chi2 = (rx * rx + ry * ry) * w_info
+    if use_stereo:
+        # third residual row uR_hat - uR for observations carrying a stereo
+        # right-x (ur >= 0); mono rows masked (reference: g2o's mixed
+        # EdgeSE3ProjectXYZ / EdgeStereoSE3ProjectXYZ graphs)
+        ur_obs = ur_ref[0]
+        has = (ur_obs >= 0.0).astype(jnp.float32)
+        rw = (fx * xc * iz + cx - bf * iz - ur_obs) * has
+        chi2 = (rx * rx + ry * ry + rw * rw) * w_info
+        d2 = jnp.where(has > 0.0, delta2_st, delta2)
+    else:
+        chi2 = (rx * rx + ry * ry) * w_info
+        d2 = delta2
     w_rob = jnp.where(
-        chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12))
+        chi2 <= d2, 1.0, jnp.sqrt(d2 / jnp.maximum(chi2, 1e-12))
     )
     w = jnp.where(ok, w_info * w_rob, 0.0)               # [1, OTP]
 
@@ -109,6 +122,13 @@ def _kernel(fx, fy, cx, cy, O, C1,
     R_rows = [(r00, r10, r20), (r01, r11, r21), (r02, r12, r22)]
     Jlu = [a * Rj[0] + c_ * Rj[2] for Rj in R_rows]
     Jlv = [b * Rj[1] + d_ * Rj[2] for Rj in R_rows]
+    if use_stereo:
+        # uR row: d(uR)/dXc = [fx/z, 0, (-fx*x + bf)/z^2] — the u row with
+        # its z-derivative shifted by bf/z^2 (geo.stereo_project_jacobians)
+        c2 = c_ + bf * iz2
+        Jw = [a, zero, c2, c2 * yc, a * zc - c2 * xc, -a * yc]
+        Jw = [j * opt * has for j in Jw]
+        Jlw = [(a * Rj[0] + c2 * Rj[2]) * has for Rj in R_rows]
 
     def lsum(p):
         """Sum an [1, O*TP] per-obs plane over observations -> [1, TP].
@@ -123,8 +143,17 @@ def _kernel(fx, fy, cx, cy, O, C1,
     Hll = {}
     for aa in range(3):
         for bb in range(aa, 3):
-            Hll[(aa, bb)] = lsum(w * (Jlu[aa] * Jlu[bb] + Jlv[aa] * Jlv[bb]))
-    gl = [lsum(w * (Jlu[k] * rx + Jlv[k] * ry)) for k in range(3)]
+            acc = Jlu[aa] * Jlu[bb] + Jlv[aa] * Jlv[bb]
+            if use_stereo:
+                acc = acc + Jlw[aa] * Jlw[bb]
+            Hll[(aa, bb)] = lsum(w * acc)
+    if use_stereo:
+        gl = [
+            lsum(w * (Jlu[k] * rx + Jlv[k] * ry + Jlw[k] * rw))
+            for k in range(3)
+        ]
+    else:
+        gl = [lsum(w * (Jlu[k] * rx + Jlv[k] * ry)) for k in range(3)]
 
     dmp = lambda h: h + lam * jnp.maximum(h, 1e-9) + 1e-9
     H00, H11, H22 = dmp(Hll[(0, 0)]), dmp(Hll[(1, 1)]), dmp(Hll[(2, 2)])
@@ -164,7 +193,10 @@ def _kernel(fx, fy, cx, cy, O, C1,
     Y = {}
     for ii in range(6):
         for kk in range(3):
-            Y[(ii, kk)] = w * (Ju[ii] * Jlu[kk] + Jv[ii] * Jlv[kk])
+            acc = Ju[ii] * Jlu[kk] + Jv[ii] * Jlv[kk]
+            if use_stereo:
+                acc = acc + Jw[ii] * Jlw[kk]
+            Y[(ii, kk)] = w * acc
     # Lh = Li^T (upper): Lh[j][k] = Li[k][j], tiled per obs
     Lh = [[None] * 3 for _ in range(3)]
     for jj in range(3):
@@ -172,7 +204,12 @@ def _kernel(fx, fy, cx, cy, O, C1,
             Lh[jj][kk] = jnp.tile(Li[kk][jj], (1, O))
     hg_t = [jnp.tile(h, (1, O)) for h in hg]
 
-    gc_planes = [w * (Ju[ii] * rx + Jv[ii] * ry) for ii in range(6)]
+    if use_stereo:
+        gc_planes = [
+            w * (Ju[ii] * rx + Jv[ii] * ry + Jw[ii] * rw) for ii in range(6)
+        ]
+    else:
+        gc_planes = [w * (Ju[ii] * rx + Jv[ii] * ry) for ii in range(6)]
     gred_planes = [
         sum(Y[(ii, jj)] * hg_t[jj] for jj in range(3)) for ii in range(6)
     ]
@@ -180,7 +217,10 @@ def _kernel(fx, fy, cx, cy, O, C1,
     for ii in range(6):
         for jj in range(6):
             aa, bb = min(ii, jj), max(ii, jj)
-            hcc_planes.append(w * (Ju[aa] * Ju[bb] + Jv[aa] * Jv[bb]))
+            acc = Ju[aa] * Ju[bb] + Jv[aa] * Jv[bb]
+            if use_stereo:
+                acc = acc + Jw[aa] * Jw[bb]
+            hcc_planes.append(w * acc)
 
     # --- camera-side reductions: transposed one-hot matmuls -----------
     def cam_reduce(planes):
@@ -239,7 +279,9 @@ def _kernel(fx, fy, cx, cy, O, C1,
     )                                                    # [1, 18*O*TP]
 
 
-@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
+@functools.partial(
+    jax.jit, static_argnames=("fx", "fy", "cx", "cy", "bf", "delta2_stereo")
+)
 def schur_reduce(
     R: jax.Array,        # f32[C, 3, 3]
     t: jax.Array,        # f32[C, 3]
@@ -251,15 +293,21 @@ def schur_reduce(
     lam: jax.Array,      # f32 scalar damping
     fx: float, fy: float, cx: float, cy: float,
     delta2: float = 5.991,
+    obs_ur: jax.Array | None = None,  # f32[P, O] right-x; <0 = mono obs
+    bf: float = 0.0,
+    delta2_stereo: float = 7.815,
 ):
     """One fused BA reduction pass.
 
     Returns (Hll_inv [P,3,3], g_l [P,3], Y [P,O,6,3], Hcc [C,6,6],
     g_c [C,6], g_red [C,6], S_pair [C,6,C,6]) — exactly the quantities
     solve_ba's einsum chain produces, with identical damping/Huber math.
+    With ``obs_ur`` and ``bf > 0``, observations whose right-x is >= 0 add
+    the stereo (uR) third residual row with Huber ``delta2_stereo``.
     """
     C = R.shape[0]
     P, O = obs_cam.shape
+    use_stereo = obs_ur is not None and bf > 0
     # sublane-align the camera axis (Mosaic rejects [1,N]->[C1,N] broadcasts
     # to non-multiple-of-8 sublane counts); extra rows are zero cameras that
     # only ever see zero-weight observations
@@ -292,19 +340,30 @@ def schur_reduce(
     u_t = obs_major(obs_uv[..., 0], 0.0)
     v_t = obs_major(obs_uv[..., 1], 0.0)
     w_t = obs_major(obs_w, 0.0)
+    ur_t = obs_major(
+        obs_ur if use_stereo else jnp.full((P, O), -1.0, jnp.float32), -1.0
+    )
     xyz_p = jnp.pad(xyz, ((0, Pp - P), (0, 0)))
     x_t = xyz_p[:, 0].reshape(Pt, 1, TP)
     y_t = xyz_p[:, 1].reshape(Pt, 1, TP)
     z_t = xyz_p[:, 2].reshape(Pt, 1, TP)
-    params = jnp.stack([lam.astype(jnp.float32), jnp.float32(delta2)]).reshape(1, 2)
+    params = jnp.stack(
+        [
+            lam.astype(jnp.float32),
+            jnp.float32(delta2),
+            jnp.float32(bf),
+            jnp.float32(delta2_stereo),
+        ]
+    ).reshape(1, 4)
 
-    kernel = functools.partial(_kernel, fx, fy, cx, cy, O, C1)
+    kernel = functools.partial(_kernel, fx, fy, cx, cy, O, C1, use_stereo)
     hllinv, gl, yout, hcc, gc, gred, s2 = pl.pallas_call(
         kernel,
         grid=(Pt,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((16, C1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, O * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, O * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, O * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, O * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -333,7 +392,7 @@ def schur_reduce(
         ],
         scratch_shapes=[pltpu.VMEM((6 * C1, 3 * TP), jnp.float32)],
         interpret=interpret_mode(),
-    )(params, camtab, cam_t, u_t, v_t, w_t, x_t, y_t, z_t)
+    )(params, camtab, cam_t, u_t, v_t, w_t, ur_t, x_t, y_t, z_t)
 
     # --- reconstruct jnp-layout outputs --------------------------------
     Hll_inv = hllinv.reshape(Pt, 9, TP).transpose(0, 2, 1).reshape(Pp, 3, 3)[:P]

@@ -86,6 +86,22 @@ def check_schur(seed=0) -> dict:
             jnp.max(jnp.abs(xk[:n_pts] - xj[:n_pts])) < 5e-3
         ),
     }
+    # stereo (3-row uR) edges through the same kernel (VERDICT r4 dir. 2/10)
+    st_cfg = CFG.replace(bf=CFG.fx * 0.12)
+    probs, _, _, _, _, n_pts_s = make_problem(
+        seed=seed + 1, cfg=st_cfg, stereo_frac=0.6
+    )
+    Rk, tk, xk, _ = solve_ba(probs, st_cfg, iters=5, use_kernel=True)
+    Rj, tj, xj, _ = solve_ba(probs, st_cfg, iters=5, use_kernel=False)
+    results.update(
+        {
+            "stereo_R": bool(jnp.max(jnp.abs(Rk - Rj)) < 2e-3),
+            "stereo_t": bool(jnp.max(jnp.abs(tk - tj)) < 2e-3),
+            "stereo_xyz": bool(
+                jnp.max(jnp.abs(xk[:n_pts_s] - xj[:n_pts_s])) < 5e-3
+            ),
+        }
+    )
     return results
 
 

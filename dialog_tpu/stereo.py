@@ -33,22 +33,42 @@ def _sad_refine(
 
     Reference: the ComputeStereoMatches SAD window with parabola fit.
     Returns (uR refined f32[N], ok bool[N]).
+
+    Patch extraction uses the frontend's one-hot-einsum gather (MXU) — the
+    previous vmap'd ``dynamic_slice`` lowered to serialized while-loops that
+    cost ~120 ms per 8-frame KITTI batch, ~80% of the whole stereo step
+    (profiled on v5e; SURVEY.md §7.1 "everything irregular is a matmul").
     """
     H, W = img_l.shape
     P = 2 * SAD_W + 1
+    WIDE = P + 2 * SAD_L
 
-    def gather(img, x0, y0, w):
-        xs = jnp.clip(x0, 0, W - w)
+    def row_onehot(y0):
+        """[N, P, H] one-hot row selectors at clipped y0."""
         ys = jnp.clip(y0, 0, H - P)
-        return jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(img, (y, x), (P, w))
-        )(ys, xs)
+        off = jnp.arange(P, dtype=jnp.int32)
+        hh = jax.lax.broadcasted_iota(jnp.int32, (y0.shape[0], P, H), 2)
+        return (hh == (ys[:, None] + off)[:, :, None]).astype(jnp.float32)
+
+    def col_onehot(x0, w):
+        """[N, w, W] one-hot column selectors at clipped x0."""
+        xs = jnp.clip(x0, 0, W - w)
+        off = jnp.arange(w, dtype=jnp.int32)
+        ww = jax.lax.broadcasted_iota(jnp.int32, (x0.shape[0], w, W), 2)
+        return (ww == (xs[:, None] + off)[:, :, None]).astype(jnp.float32)
 
     xl = jnp.round(uv_l[:, 0]).astype(jnp.int32)
     yl = jnp.round(uv_l[:, 1]).astype(jnp.int32)
     xr = jnp.round(uR0).astype(jnp.int32)
-    patch_l = gather(img_l, xl - SAD_W, yl - SAD_W, P)               # [N,P,P]
-    strip_r = gather(img_r, xr - SAD_W - SAD_L, yl - SAD_W, P + 2 * SAD_L)
+    ohy = row_onehot(yl - SAD_W)
+    both = jnp.stack([img_l, img_r])                                 # [2,H,W]
+    rows = jnp.einsum("nph,chw->ncpw", ohy, both)                    # [N,2,P,W]
+    patch_l = jnp.einsum(
+        "npw,nqw->npq", rows[:, 0], col_onehot(xl - SAD_W, P)
+    )                                                                # [N,P,P]
+    strip_r = jnp.einsum(
+        "npw,nqw->npq", rows[:, 1], col_onehot(xr - SAD_W - SAD_L, WIDE)
+    )                                                                # [N,P,WIDE]
     # SAD for each of the 2L+1 offsets
     sads = jnp.stack(
         [

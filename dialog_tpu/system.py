@@ -1396,7 +1396,7 @@ class Engine:
 
         g = self._gba
         self._gba = None
-        R, t, xyz, _, _ = g["carry"]
+        R, t, xyz = g["carry"][:3]
         R = geo.orthogonalize(R)
         if self.mesh is not None:
             dev = jax.devices()[0]

@@ -1,0 +1,164 @@
+"""TUM + KITTI loader and CLI wiring tests (VERDICT r4 directive 7).
+
+Mirrors tests/test_cli_euroc.py: builds miniature sequences in the
+reference's on-disk layouts — TUM (``rgb.txt``/``depth.txt`` lists +
+``groundtruth.txt``; canonical ``Examples/RGB-D/rgbd_tum.cc`` +
+``associate.py``) and KITTI odometry (``times.txt`` + ``image_0``/
+``image_1``; canonical ``Examples/Stereo/stereo_kitti.cc``) — from the
+synthetic renderer, and drives them through the real CLI entry points.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from dialog_tpu.config import EngineConfig
+from dialog_tpu.datasets import kitti, synth, tum
+from dialog_tpu.cli import main as cli_main
+
+CFG = EngineConfig(
+    width=320, height=240, fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+    n_features=300, max_features=512,
+)
+N = 6
+DEPTH_FACTOR = 5000.0  # TUM convention: uint16 depth = metres * 5000
+
+
+@pytest.fixture(scope="module")
+def tum_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tum_seq")
+    scene = synth.make_scene(seed=11, n_points=500, n_frames=N, cfg=CFG)
+    os.makedirs(root / "rgb")
+    os.makedirs(root / "depth")
+    rgb_lines, depth_lines, gt_lines = [], [], []
+    for i in range(N):
+        ts = 1305031102.175304 + i * 0.05
+        img = synth.render_image(scene, i).clip(0, 255).astype(np.uint8)
+        cv2.imwrite(str(root / "rgb" / f"{ts:.6f}.png"), img)
+        rgb_lines.append(f"{ts:.6f} rgb/{ts:.6f}.png")
+        d = synth.render_depth(scene, i)
+        d16 = np.clip(d * DEPTH_FACTOR, 0, 65535).astype(np.uint16)
+        # depth stamps slightly offset, as in the real sensor streams
+        dts = ts + 0.012
+        cv2.imwrite(str(root / "depth" / f"{dts:.6f}.png"), d16)
+        depth_lines.append(f"{dts:.6f} depth/{dts:.6f}.png")
+        C = -scene.R[i].T @ scene.t[i]
+        gt_lines.append(
+            f"{ts:.6f} {C[0]:.6f} {C[1]:.6f} {C[2]:.6f} 0 0 0 1"
+        )
+    (root / "rgb.txt").write_text(
+        "# color images\n# file: test\n# timestamp filename\n"
+        + "\n".join(rgb_lines) + "\n"
+    )
+    (root / "depth.txt").write_text(
+        "# depth images\n" + "\n".join(depth_lines) + "\n"
+    )
+    (root / "groundtruth.txt").write_text(
+        "# ground truth\n" + "\n".join(gt_lines) + "\n"
+    )
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def kitti_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_seq") / "00"
+    scene = synth.make_scene(seed=12, n_points=1500, n_frames=N, cfg=CFG)
+    b = 0.3  # ThDepth(40) * baseline must cover the synthetic scene depth
+    scene_r = scene._replace(t=scene.t - np.array([b, 0, 0], np.float32))
+    os.makedirs(root / "image_0")
+    os.makedirs(root / "image_1")
+    for i in range(N):
+        for cam, sc in (("image_0", scene), ("image_1", scene_r)):
+            img = synth.render_image(sc, i).clip(0, 255).astype(np.uint8)
+            cv2.imwrite(str(root / cam / f"{i:06d}.png"), img)
+    (root / "times.txt").write_text(
+        "\n".join(f"{i * 0.1:.6e}" for i in range(N)) + "\n"
+    )
+    return str(root)
+
+
+class TestTumLoader:
+    def test_mono_iter(self, tum_dir):
+        frames = list(tum.iter_mono(tum_dir))
+        assert len(frames) == N
+        ts, img = frames[0]
+        assert img.shape == (240, 320) and img.dtype == np.float32
+        assert frames[1][0] > ts
+
+    def test_rgbd_iter_associates(self, tum_dir):
+        frames = list(tum.iter_rgbd(tum_dir))
+        assert len(frames) == N   # 12 ms offset is inside the 20 ms window
+        ts, img, depth = frames[0]
+        assert depth.shape == (240, 320)
+        assert depth.max() > 0  # real depth content survived the uint16 trip
+
+    def test_groundtruth(self, tum_dir):
+        ts, pos = tum.load_groundtruth(tum_dir)
+        assert pos.shape == (N, 3)
+
+    def test_cli_rgbd_end_to_end(self, tum_dir, tmp_path, capsys):
+        yaml = tmp_path / "cfg.yaml"
+        yaml.write_text(
+            "Camera.fx: 260.0\nCamera.fy: 260.0\nCamera.cx: 160.0\n"
+            "Camera.cy: 120.0\nCamera.width: 320\nCamera.height: 240\n"
+            "Camera.fps: 20.0\nCamera.bf: 31.2\nDepthMapFactor: 5000.0\n"
+            "ORBextractor.nFeatures: 300\n"
+        )
+        out = tmp_path / "traj.txt"
+        cli_main([
+            "run-tum", tum_dir, "--rgbd", "--settings", str(yaml),
+            "--out", str(out),
+        ])
+        printed = capsys.readouterr().out
+        assert "tracked" in printed
+        lines = out.read_text().splitlines()
+        assert out.exists() and len(lines) == N
+        # TUM format: ts tx ty tz qx qy qz qw
+        assert all(len(l.split()) == 8 for l in lines)
+
+
+class TestKittiLoader:
+    def test_times_and_stereo_iter(self, kitti_dir):
+        times = kitti.read_times(kitti_dir)
+        assert len(times) == N and times[1] > times[0]
+        frames = list(kitti.iter_stereo(kitti_dir))
+        assert len(frames) == N
+        ts, l, r = frames[0]
+        assert l.shape == r.shape == (240, 320)
+        assert not np.array_equal(l, r)
+
+    def test_load_poses(self, tmp_path):
+        rows = []
+        for i in range(4):
+            P = np.hstack([np.eye(3), [[i], [0], [0]]])
+            rows.append(" ".join(f"{x:.6e}" for x in P.reshape(-1)))
+        p = tmp_path / "00.txt"
+        p.write_text("\n".join(rows) + "\n")
+        pos = kitti.load_poses(str(p))
+        assert pos.shape == (4, 3)
+        np.testing.assert_allclose(pos[:, 0], np.arange(4))
+
+    def test_cli_stereo_end_to_end(self, kitti_dir, tmp_path, capsys):
+        yaml = tmp_path / "cfg.yaml"
+        yaml.write_text(
+            "Camera.fx: 260.0\nCamera.fy: 260.0\nCamera.cx: 160.0\n"
+            "Camera.cy: 120.0\nCamera.width: 320\nCamera.height: 240\n"
+            "Camera.fps: 10.0\nCamera.bf: 78.0\n"
+            "ORBextractor.nFeatures: 300\n"
+        )
+        out = tmp_path / "traj.txt"
+        cli_main([
+            "run-kitti", kitti_dir, "--settings", str(yaml),
+            "--out", str(out),
+        ])
+        printed = capsys.readouterr().out
+        assert "tracked" in printed
+        lines = out.read_text().splitlines()
+        assert out.exists() and len(lines) == N
+        # KITTI format: 12 floats (3x4 row-major) per line
+        assert all(len(l.split()) == 12 for l in lines)
+        # stereo initializes on the very first frame
+        assert "keyframes: 0" not in printed

@@ -93,3 +93,75 @@ class TestSchurBA:
         np.testing.assert_allclose(
             np.asarray(xyz1)[0], np.asarray(prob.xyz[0] + d_pt), atol=1e-3
         )
+
+
+class TestDuplicateBindings:
+    """Landmark fusion's global replace can bind two features of one
+    keyframe row to the same landmark (ADVICE r4); the problem builders must
+    keep exactly one observation per (keyframe, landmark) with no holes."""
+
+    def _map_with_dup(self):
+        from dialog_tpu.containers import empty_map
+
+        cfg = EngineConfig(
+            max_features=8, max_keyframes=8, max_landmarks=16,
+            max_local_kfs=4, max_fixed_kfs=2, max_obs_per_lm=4,
+        )
+        m = empty_map(cfg)
+        kfs = m.kfs._replace(
+            valid=m.kfs.valid.at[:3].set(True),
+            seq=m.kfs.seq.at[:3].set(jnp.asarray([0, 1, 2])),
+            feat_valid=m.kfs.feat_valid.at[:3].set(True),
+            # KF0 binds features 0 AND 2 to landmark 5 (the duplicate), and
+            # feature 1 to landmark 6; KF1/KF2 bind one feature each to both
+            obs_lm=(
+                m.kfs.obs_lm
+                .at[0, 0].set(5).at[0, 2].set(5).at[0, 1].set(6)
+                .at[1, 0].set(5).at[1, 1].set(6)
+                .at[2, 0].set(5).at[2, 1].set(6)
+            ),
+            uv=m.kfs.uv.at[:3].set(
+                jnp.asarray(np.random.default_rng(0).uniform(
+                    100, 400, (3, 8, 2)).astype(np.float32))
+            ),
+        )
+        lms = m.lms._replace(
+            valid=m.lms.valid.at[jnp.asarray([5, 6])].set(True),
+            xyz=m.lms.xyz.at[jnp.asarray([5, 6])].set(
+                jnp.asarray([[0.0, 0.0, 5.0], [1.0, 0.0, 6.0]])
+            ),
+        )
+        covis = m.covis.at[:3, :3].set(20).at[
+            jnp.arange(3), jnp.arange(3)].set(0)
+        return cfg, m._replace(kfs=kfs, lms=lms, covis=covis)
+
+    def test_local_builder_dedupes_without_holes(self):
+        from dialog_tpu.optim.local_ba import build_problem
+
+        cfg, m = self._map_with_dup()
+        prob = build_problem(m, jnp.int32(0), cfg)
+        P = cfg.max_local_lms if hasattr(cfg, "max_local_lms") else 0
+        lm_ids = np.asarray(prob.lm_ids)
+        obs_cam = np.asarray(prob.obs_cam)
+        obs_ok = np.asarray(prob.obs_ok)
+        cam_slots = np.asarray(prob.cam_slots)
+        for lm in (5, 6):
+            p = int(np.nonzero(lm_ids == lm)[0][0])
+            cams = [int(cam_slots[c]) for c, ok in zip(obs_cam[p], obs_ok[p]) if ok]
+            assert sorted(cams) == [0, 1, 2], (lm, cams)   # one obs per KF
+            # no holes: valid observations are packed at the front
+            ok_row = obs_ok[p]
+            assert not np.any(~ok_row[:3])
+
+    def test_global_builder_dedupes_without_holes(self):
+        from dialog_tpu.optim.global_ba import build_global_problem
+
+        cfg, m = self._map_with_dup()
+        prob, n_dropped = build_global_problem(m, cfg)
+        assert int(n_dropped) == 0   # duplicates are not "truncation"
+        obs_cam = np.asarray(prob.obs_cam)
+        obs_ok = np.asarray(prob.obs_ok)
+        for lm in (5, 6):
+            cams = [int(c) for c, ok in zip(obs_cam[lm], obs_ok[lm]) if ok]
+            assert sorted(cams) == [0, 1, 2], (lm, cams)
+            assert not np.any(~obs_ok[lm][:3])

@@ -22,13 +22,24 @@ class TestSchurPCG:
         )
         R_d, t_d, xyz_d, _ = solve_ba(prob, CFG, iters=1, lam0=1e-7)
         R_p, t_p, xyz_p, _ = solve_ba_pcg(
-            prob, CFG, iters=1, lam0=1e-7, cg_iters=24
+            prob, CFG, iters=1, lam0=1e-7, cg_iters=24, cg_tol=0.0
         )
         np.testing.assert_allclose(np.asarray(R_p), np.asarray(R_d), atol=1e-4)
         np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_d), atol=1e-4)
         np.testing.assert_allclose(
             np.asarray(xyz_p)[:n_pts], np.asarray(xyz_d)[:n_pts], atol=1e-4
         )
+
+    def test_cg_early_exit_cuts_allreduce_count(self):
+        """Each CG iteration costs one cross-shard all-reduce on a sharded
+        problem; the relative-residual early exit must at least halve the
+        fixed 48-iteration budget (VERDICT r4 directive 5)."""
+        prob, *_ = make_problem()
+        *_, n_cg = solve_ba_pcg(
+            prob, CFG, iters=10, cg_iters=48, return_cg_iters=True
+        )
+        assert int(n_cg) < 10 * 48 // 2, int(n_cg)
+        assert int(n_cg) > 0
 
     def test_recovers_ground_truth(self):
         prob, Rs, ts, pts, n_cams, n_pts = make_problem()

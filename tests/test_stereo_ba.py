@@ -103,11 +103,15 @@ class TestStereoSolve:
         # stereo must not be worse; on weak geometry it should be clearly better
         assert err_st <= err_mo * 1.001, (err_st, err_mo)
 
-    def test_kernel_rejects_stereo(self):
-        prob, *_ = make_problem(seed=4, cfg=STEREO_CFG, stereo_frac=0.5)
-        try:
-            solve_ba(prob, STEREO_CFG, iters=1, use_kernel=True)
-        except ValueError:
-            pass
-        else:
-            raise AssertionError("use_kernel=True must reject stereo problems")
+    def test_kernel_matches_einsum_on_stereo(self, monkeypatch):
+        """The fused Pallas reduction (interpret mode on CPU) must agree
+        with the einsum path on a mixed mono+stereo problem."""
+        monkeypatch.setenv("DIALOG_TPU_PALLAS_INTERPRET", "1")
+        prob, *_, n_pts = make_problem(seed=4, cfg=STEREO_CFG, stereo_frac=0.5)
+        R_k, t_k, x_k, _ = solve_ba(prob, STEREO_CFG, iters=3, use_kernel=True)
+        R_j, t_j, x_j, _ = solve_ba(prob, STEREO_CFG, iters=3, use_kernel=False)
+        np.testing.assert_allclose(np.asarray(R_k), np.asarray(R_j), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_j), atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(x_k)[:n_pts], np.asarray(x_j)[:n_pts], atol=5e-3
+        )
