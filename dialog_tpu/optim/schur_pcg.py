@@ -77,12 +77,30 @@ def _lm_machinery(
         out = jnp.zeros((C + 1,) + vals.shape[2:], vals.dtype)
         return out.at[flat].add(v, mode="drop")[:C]
 
-    def step(R, t, xyz, lam):
-        r, J_c, J_l, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy, bf)
-        w, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
-        opt_of_obs = prob.cam_opt[jnp.clip(prob.obs_cam, 0, C - 1)]
+    O = prob.obs_cam.shape[1]
+    # landmark-slab chunking for the construction phase: at KITTI00 global
+    # capacity (P = 262k, O = 12) the unchunked einsums materialize several
+    # [P, O, 6, 6]-class temporaries at once — measured 19.7 GB of HBM, an
+    # OOM on a 16 GB chip. Slabs bound the transient footprint; only the
+    # back-substitution factors (Y [P,O,6,3], Hll_inv, g_l) stay resident.
+    Pc = P
+    while Pc > 16384 and Pc % 2 == 0:
+        Pc //= 2
+    n_ch = P // Pc if P > 65536 else 1
+    if n_ch == 1:
+        Pc = P
+
+    def slab_terms(cam_s, uv_s, w_s, ok_s, ur_s, xyz_s, d2_s, R, t, lam):
+        """One landmark slab: per-slab factors + camera-side accumulators."""
+        sp = prob._replace(
+            obs_cam=cam_s, obs_uv=uv_s, obs_w=w_s, obs_ok=ok_s,
+            obs_ur=ur_s, xyz=xyz_s,
+        )
+        r, J_c, J_l, ok = _residuals(sp, R, t, xyz_s, fx, fy, cx, cy, bf)
+        w, cost, _ = _robust_weights(r, w_s, ok, d2_s)
+        opt_of_obs = prob.cam_opt[jnp.clip(cam_s, 0, C - 1)]
         J_c = jnp.where(opt_of_obs[..., None, None], J_c, 0.0)
-        cam = jnp.clip(prob.obs_cam, 0, C)          # C = pad row (sliced off)
+        cam = jnp.clip(cam_s, 0, C)                 # C = pad row (sliced off)
 
         # --- landmark blocks (identical math to solve_ba) ----------------
         Hll = jnp.einsum("poki,po,pokj->pij", J_l, w, J_l)
@@ -96,13 +114,60 @@ def _lm_machinery(
         Hll_inv = jnp.einsum("pki,pkj->pij", Ld_inv, Ld_inv)
 
         # --- per-observation camera factors ------------------------------
-        Y = jnp.einsum("poki,po,pokj->poij", J_c, w, J_l)        # [P,O,6,3]
+        Y = jnp.einsum("poki,po,pokj->poij", J_c, w, J_l)        # [Pc,O,6,3]
         g_c = seg6(cam, jnp.einsum("poki,po,pok->poi", J_c, w, r))
         Hcc = seg6(cam, jnp.einsum("poki,po,pokj->poij", J_c, w, J_c))
         g_red = seg6(
             cam,
             jnp.einsum("poij,pj->poi", Y, jnp.einsum("pij,pj->pi", Hll_inv, g_l)),
         )
+        Lh = jnp.swapaxes(Ld_inv, -1, -2)                        # [Pc,3,3]
+        YL = jnp.einsum("poij,pjk->poik", Y, Lh)
+        Dsub = seg6(cam, jnp.einsum("poik,pojk->poij", YL, YL))
+        return cost, Hll_inv, g_l, Y, g_c, Hcc, g_red, Dsub
+
+    def step(R, t, xyz, lam):
+        ur = prob.obs_ur
+        if n_ch == 1:
+            cost, Hll_inv, g_l, Y, g_c, Hcc, g_red, Dsub = slab_terms(
+                prob.obs_cam, prob.obs_uv, prob.obs_w, prob.obs_ok,
+                ur, xyz, delta2, R, t, lam,
+            )
+        else:
+            def resh(x):
+                return x.reshape((n_ch, Pc) + x.shape[1:])
+
+            slabs = (
+                resh(prob.obs_cam), resh(prob.obs_uv), resh(prob.obs_w),
+                resh(prob.obs_ok),
+                resh(ur) if ur is not None else None,
+                resh(xyz),
+                None if jnp.ndim(delta2) == 0 else resh(delta2),
+            )
+
+            def body(acc, sl):
+                cam_s, uv_s, w_s, ok_s, ur_s, xyz_s, d2_s = sl
+                out = slab_terms(
+                    cam_s, uv_s, w_s, ok_s, ur_s, xyz_s,
+                    delta2 if d2_s is None else d2_s, R, t, lam,
+                )
+                cost, hli, gl, y, gc, hcc, gr, ds = out
+                a = (acc[0] + cost, acc[1] + gc, acc[2] + hcc,
+                     acc[3] + gr, acc[4] + ds)
+                return a, (hli, gl, y)
+
+            acc0 = (
+                jnp.float32(0.0), jnp.zeros((C, 6)), jnp.zeros((C, 6, 6)),
+                jnp.zeros((C, 6)), jnp.zeros((C, 6, 6)),
+            )
+            (cost, g_c, Hcc, g_red, Dsub), (Hll_inv, g_l, Y) = jax.lax.scan(
+                body, acc0, slabs
+            )
+            Hll_inv = Hll_inv.reshape(P, 3, 3)
+            g_l = g_l.reshape(P, 3)
+            Y = Y.reshape(P, O, 6, 3)
+
+        cam = jnp.clip(prob.obs_cam, 0, C)
         dcc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
         Hcc_d = Hcc + (lam * jnp.maximum(dcc, 1e-9) + 1e-9)[..., None] * eye6
         # frozen cameras: identity rows keep the system nonsingular while
@@ -110,9 +175,7 @@ def _lm_machinery(
         Hcc_d = jnp.where(prob.cam_opt[:, None, None], Hcc_d, eye6)
 
         # --- block-Jacobi preconditioner: exact 6x6 diagonal of S --------
-        Lh = jnp.swapaxes(Ld_inv, -1, -2)                         # [P,3,3]
-        YL = jnp.einsum("poij,pjk->poik", Y, Lh)                  # [P,O,6,3]
-        D = Hcc_d - seg6(cam, jnp.einsum("poik,pojk->poij", YL, YL))
+        D = Hcc_d - Dsub
         D = jnp.where(prob.cam_opt[:, None, None], D, eye6)
         D_inv = jnp.linalg.inv(D + 1e-8 * eye6)
 
@@ -245,8 +308,13 @@ def lm_steps_pcg(
     chi2_th: float = 5.991,
     n_iters: int = 1,
     cg_iters: int = 48,
+    cg_tol: float = 1e-6,
 ):
     """Advance the LM carry by ``n_iters`` iterations (identical math to
-    ``solve_ba_pcg`` — one chunk of the asynchronously-overlapped GBA)."""
-    _, body = _lm_machinery(prob, cfg, chi2_th, cg_iters)
+    ``solve_ba_pcg`` — one chunk of the asynchronously-overlapped GBA).
+
+    The async GBA bounds its per-frame stall by truncating CG
+    (``cg_iters``) and loosening ``cg_tol`` — inexact-Newton LM: a coarser
+    camera solve per iteration, still guarded by the accept/reject rule."""
+    _, body = _lm_machinery(prob, cfg, chi2_th, cg_iters, cg_tol)
     return jax.lax.fori_loop(0, n_iters, body, carry)

@@ -1373,8 +1373,14 @@ class Engine:
             prob = shard_problem(prob, self.mesh)
         snap = GBASnapshot(self.m)
         carry = lm_init_pcg(prob, self.cfg, chi2_th=self.cfg.chi2_mono)
+        # bound the per-tick stall at capacity-scale maps: truncated CG +
+        # loose tolerance per LM iteration (inexact Newton; KERNELS.md has
+        # the measured tick times). Small maps keep the full budget.
+        big = prob.lm_ids.shape[0] > 65536
         self._gba = {"prob": prob, "snap": snap, "carry": carry,
-                     "left": int(iters)}
+                     "left": int(iters),
+                     "cg_iters": 16 if big else 48,
+                     "cg_tol": 1e-4 if big else 1e-6}
 
     def _gba_tick(self) -> None:
         """Advance the in-flight GBA by one LM iteration (async dispatch)."""
@@ -1384,7 +1390,8 @@ class Engine:
 
         g = self._gba
         g["carry"] = lm_steps_pcg(
-            g["prob"], self.cfg, g["carry"], chi2_th=self.cfg.chi2_mono
+            g["prob"], self.cfg, g["carry"], chi2_th=self.cfg.chi2_mono,
+            cg_iters=g["cg_iters"], cg_tol=g["cg_tol"],
         )
         g["left"] -= 1
         if g["left"] <= 0:
