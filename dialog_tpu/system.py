@@ -1073,6 +1073,13 @@ class Engine:
         self._vocab = _vocab.train_vocab(
             desc, valid, sub, n_words=W, iters=4, init_words=init
         )
+        if W >= 8192:
+            # ORBvoc-scale codebooks get the two-level quantizer: coarse
+            # argmin + in-cell argmin is O(sqrt(W)) per descriptor instead
+            # of the [N, W] flat product (vocab.build_two_level)
+            self._vocab = _vocab.build_two_level(
+                self._vocab, n_coarse=max(64, int(np.sqrt(W)))
+            )
         self._vocab_trained_kfs = self.kf_count
         # idf from the keyframe corpus: one quantize pass over every KF's
         # descriptors; invalid slots quantize to the sentinel word and fall

@@ -25,8 +25,23 @@ import numpy as np
 
 
 class Vocabulary(NamedTuple):
+    """Flat codebook, optionally with a coarse level for two-level lookup.
+
+    The flat Hamming-argmin is one MXU matmul and stays the fast path up to
+    ~32k words; at ORBvoc scale (the reference ships ~1M leaves — SURVEY.md
+    §2.2) the [N, W] distance matrix stops being free, so ``build_two_level``
+    adds a coarse quantizer: descriptors pick one of C0 coarse cells, then
+    argmin only against that cell's ~W/C0 words (DBoW2's k=10/L=6 tree
+    collapsed to two levels — the shallowest hierarchy that keeps every step
+    a dense batched op). ``quantize`` auto-dispatches when the coarse level
+    is present.
+    """
+
     words: jax.Array    # u32[W, 8] binary centroids
     idf: jax.Array      # f32[W] inverse document frequency weights
+    coarse: jax.Array | None = None      # u32[C0, 8] coarse centroids
+    cell_words: jax.Array | None = None  # u32[C0, Fo, 8] per-cell words (padded)
+    cell_ids: jax.Array | None = None    # i32[C0, Fo] padded slot -> word id
 
 
 def _unpack_bits(desc: jax.Array) -> jax.Array:
@@ -122,11 +137,131 @@ def train_vocab(
     return Vocabulary(words=words, idf=jnp.ones((n_words,), jnp.float32))
 
 
+def build_two_level(
+    vocab: Vocabulary, n_coarse: int = 64, fill: float = 1.3, seed: int = 0
+) -> Vocabulary:
+    """Attach a coarse level: k-medians over the WORD TABLE, balanced cells.
+
+    Host-side, one-time (numpy): cluster the W words into ``n_coarse`` cells,
+    cap each cell at Fo = ceil(fill * W / n_coarse) words (overflow words
+    spill to their next-nearest cell with space), pad short cells by
+    duplicating their first word — padded slots map back to a REAL word id
+    through ``cell_ids``, so two-level quantization returns ids in the same
+    flat word space (tf/idf/BoW code is unchanged).
+    """
+    words = np.ascontiguousarray(np.asarray(vocab.words))
+    W = words.shape[0]
+    C0 = min(n_coarse, W)
+    Fo = int(np.ceil(fill * W / C0))
+    rng = np.random.default_rng(seed)
+
+    bits = np.unpackbits(
+        words.view(np.uint8), axis=1, bitorder="little"
+    ).astype(np.float32)                                  # [W, 256]
+    # k-medians on words (few items: plain numpy loop is fine)
+    cent = bits[rng.choice(W, C0, replace=False)]
+    for _ in range(8):
+        d = (
+            bits.sum(1)[:, None] + cent.sum(1)[None, :] - 2.0 * bits @ cent.T
+        )
+        assign = np.argmin(d, axis=1)
+        for c in range(C0):
+            sel = assign == c
+            if sel.any():
+                cent[c] = (bits[sel].mean(0) > 0.5).astype(np.float32)
+    d = bits.sum(1)[:, None] + cent.sum(1)[None, :] - 2.0 * bits @ cent.T
+    order = np.argsort(d, axis=1)                         # word -> cell prefs
+
+    members: list[list[int]] = [[] for _ in range(C0)]
+    for w in np.argsort(d[np.arange(W), order[:, 0]]):    # confident first
+        for c in order[w]:
+            if len(members[c]) < Fo:
+                members[c].append(int(w))
+                break
+    # empty cells adopt the word nearest their centroid (duplicate is fine)
+    for c in range(C0):
+        if not members[c]:
+            members[c].append(int(np.argmin(d[:, c])))
+
+    cell_ids = np.zeros((C0, Fo), np.int32)
+    for c in range(C0):
+        mem = members[c]
+        cell_ids[c, : len(mem)] = mem
+        cell_ids[c, len(mem):] = mem[0]                   # pad = duplicate
+    cell_words = words[cell_ids]                          # [C0, Fo, 8]
+    coarse = np.packbits(
+        cent.astype(np.uint8), axis=1, bitorder="little"
+    ).view(np.uint32)                                     # [C0, 8]
+    return vocab._replace(
+        coarse=jnp.asarray(coarse),
+        cell_words=jnp.asarray(cell_words),
+        cell_ids=jnp.asarray(cell_ids),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
+def _quantize_two_level(
+    vocab: Vocabulary, desc: jax.Array, valid: jax.Array, chunk: int = 2048
+) -> jax.Array:
+    """Coarse argmin -> fine argmin within the chosen cell: O(C0 + W/C0).
+
+    The fine step gathers each descriptor's cell words ([n, Fo, 8]) and uses
+    the pairwise popcount form — at chunk = 2048, Fo <= 1024 the tensor
+    stays tens of MB, and the gather is rows of a small resident table.
+    """
+    N = desc.shape[0]
+    W = vocab.words.shape[0]
+    chunk = max(1, min(chunk, N))
+    cbits = _unpack_bits(vocab.coarse)                    # [C0, 256]
+    csum = jnp.sum(cbits, axis=-1)
+    cb16 = cbits.astype(jnp.bfloat16).T
+
+    pad = (-N) % chunk
+    desc_c = jnp.pad(desc, ((0, pad), (0, 0))).reshape(-1, chunk, 8)
+
+    def body(_, dc):
+        b = _unpack_bits(dc)
+        dots = jnp.dot(
+            b.astype(jnp.bfloat16), cb16, preferred_element_type=jnp.float32
+        )
+        dcoarse = jnp.sum(b, -1)[:, None] + csum[None, :] - 2.0 * dots
+        # top-2 coarse routing: boundary descriptors (whose true word sits
+        # in the runner-up cell) dominate the top-1 scheme's error, and the
+        # second cell only doubles the O(W/C0) fine step
+        _, cells = jax.lax.top_k(-dcoarse, 2)             # [n, 2]
+        cw = vocab.cell_words[cells]                      # [n, 2, Fo, 8]
+        Fo = cw.shape[2]
+        cw = cw.reshape(cw.shape[0], 2 * Fo, 8)
+        dfine = jnp.sum(
+            jax.lax.population_count(dc[:, None, :] ^ cw), axis=-1
+        )                                                 # [n, 2*Fo]
+        slot = jnp.argmin(dfine, axis=1)
+        ids2 = vocab.cell_ids[cells].reshape(cw.shape[0], 2 * Fo)
+        return None, jnp.take_along_axis(ids2, slot[:, None], axis=1)[:, 0]
+
+    _, wid = jax.lax.scan(body, None, desc_c)
+    wid = wid.reshape(-1)[:N].astype(jnp.int32)
+    return jnp.where(valid, wid, W)
+
+
 def quantize(
     vocab: Vocabulary, desc: jax.Array, valid: jax.Array, chunk: int = 8192
 ) -> jax.Array:
-    """Descriptors -> word ids (W = invalid sentinel). One batched argmin.
+    """Descriptors -> word ids (W = invalid sentinel).
+
+    Dispatches to the two-level path when the vocabulary carries a coarse
+    level (``build_two_level``); otherwise one batched flat argmin.
+    """
+    if vocab.coarse is not None:
+        return _quantize_two_level(vocab, desc, valid)
+    return _quantize_flat(vocab, desc, valid, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _quantize_flat(
+    vocab: Vocabulary, desc: jax.Array, valid: jax.Array, chunk: int = 8192
+) -> jax.Array:
+    """One batched flat argmin over the whole word table.
 
     Contraction form: Hamming(a, w) = |a| + |w| - 2 a.w over unpacked bits,
     so the [N, W] distance matrix is one (chunked) bf16 MXU matmul — the

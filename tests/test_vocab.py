@@ -100,3 +100,85 @@ class TestDBoW2Loader:
         open(p, "w").write("this is not a vocabulary\n")
         with pytest.raises(ValueError):
             vocab.load_dbow2_text(p)
+
+
+class TestTwoLevel:
+    """Two-level (coarse -> in-cell) quantization for ORBvoc-scale codebooks
+    (VERDICT r4 directive 9; reference: DBoW2 TemplatedVocabulary k=10 L=6)."""
+
+    def test_agrees_with_flat(self):
+        desc, labels, _ = _clustered_descs(n_clusters=64, per=12, seed=3)
+        v = vocab.train_vocab(
+            jnp.asarray(desc), jnp.ones(len(desc), bool),
+            jax.random.PRNGKey(3), n_words=128, iters=8,
+        )
+        hv = vocab.build_two_level(v, n_coarse=16)
+        ones = jnp.ones(len(desc), bool)
+        wid_flat = np.asarray(vocab._quantize_flat(v, jnp.asarray(desc), ones))
+        wid_two = np.asarray(vocab.quantize(hv, jnp.asarray(desc), ones))
+        assert hv.coarse is not None
+        # ids live in the same flat word space
+        assert wid_two.max() < 128
+        # coarse routing loses a few boundary descriptors, not the bulk
+        agree = (wid_flat == wid_two).mean()
+        assert agree > 0.85, agree
+
+    def test_bow_scores_survive_two_level(self):
+        desc, *_ = _clustered_descs(n_clusters=64, per=12, seed=4)
+        v = vocab.train_vocab(
+            jnp.asarray(desc), jnp.ones(len(desc), bool),
+            jax.random.PRNGKey(4), n_words=128, iters=8,
+        )
+        hv = vocab.build_two_level(v, n_coarse=16)
+        d1 = jnp.asarray(desc[:200])
+        d3 = jnp.asarray(_clustered_descs(seed=9)[0][:200])
+        ones = jnp.ones(200, bool)
+        v1 = vocab.bow_vector(hv, d1, ones)
+        db = jnp.stack(
+            [vocab.bow_vector(hv, d1, ones), vocab.bow_vector(hv, d3, ones)]
+        )
+        s = np.asarray(vocab.bow_l1_scores(v1, db))
+        assert s[0] > 0.95 and s[0] > s[1] + 0.3
+
+    def test_orbvoc_scale_fixture_roundtrip(self, tmp_path):
+        """~10k-word vocabulary in the DBoW2 text format through
+        load_dbow2_text -> build_two_level -> quantize."""
+        rng = np.random.default_rng(7)
+        k = 100
+        lines = [f"{k} 2 0 0"]
+        for i in range(k):                      # level-1 nodes
+            d = rng.integers(0, 256, 32)
+            lines.append("0 0 " + " ".join(map(str, d)) + " 0")
+        for i in range(k * k):                  # 10 000 leaves
+            d = rng.integers(0, 256, 32)
+            lines.append(
+                f"{1 + i // k} 1 " + " ".join(map(str, d))
+                + f" {rng.uniform(0.1, 2.0):.6f}"
+            )
+        p = tmp_path / "orbvoc10k.txt"
+        p.write_text("\n".join(lines) + "\n")
+
+        v = vocab.load_dbow2_text(str(p))
+        assert v.words.shape[0] == k * k
+        hv = vocab.build_two_level(v, n_coarse=100)
+        assert hv.cell_words.shape[0] == 100
+
+        qn = np.ascontiguousarray(
+            rng.integers(0, 2**32, (512, 8), dtype=np.uint32)
+        )
+        q = jnp.asarray(qn)
+        ones = jnp.ones(512, bool)
+        wid_two = np.asarray(vocab.quantize(hv, q, ones))
+        wid_flat = np.asarray(vocab._quantize_flat(v, q, ones))
+        assert wid_two.max() < k * k
+        # unclustered random queries have massively tied nearest words, so
+        # id agreement is meaningless (DBoW2's greedy descent shares the
+        # property); the guarantee is QUALITY: the chosen word's Hamming
+        # distance stays within a few bits of the true nearest (measured
+        # ~5.5 extra bits on a ~97-bit mean at this scale)
+        wn = np.ascontiguousarray(np.asarray(v.words))
+        db = np.unpackbits(wn.view(np.uint8), axis=1)
+        qb = np.unpackbits(qn.view(np.uint8), axis=1)
+        d_two = (qb != db[wid_two]).sum(1).mean()
+        d_flat = (qb != db[wid_flat]).sum(1).mean()
+        assert d_two <= d_flat + 10.0, (d_two, d_flat)
