@@ -142,6 +142,11 @@ def shard_problem(prob: BAProblem, mesh: Mesh, axis=None) -> BAProblem:
             if prob.obs_ur is None
             else jax.device_put(prob.obs_ur, lm_sharded2)
         ),
+        lm_opt=(
+            None
+            if prob.lm_opt is None
+            else jax.device_put(prob.lm_opt, lm_sharded)
+        ),
     )
 
 

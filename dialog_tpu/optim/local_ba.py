@@ -55,6 +55,11 @@ class BAProblem(NamedTuple):
     # 3-row (u, v, uR) residual of g2o's EdgeStereoSE3ProjectXYZ — the
     # reference's LocalBundleAdjustment/GBA stereo edges (VERDICT r4 #2).
     obs_ur: jax.Array | None = None
+    # optional landmark freeze mask (None = all optimized): frozen landmarks
+    # have their point Jacobians zeroed, so their observations become exact
+    # pose-only edges (g2o's setFixed on point vertices). Block-partitioned
+    # BA uses this for landmarks owned by other blocks.
+    lm_opt: jax.Array | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -290,13 +295,25 @@ def solve_ba(
     def cost_of(R, t, xyz):
         r, _, _, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy, bf)
         _, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
-        return cost
+        # cheirality penalty: an observation pushed behind its camera drops
+        # out of the masked robust cost, which lets LM "improve" by moving
+        # landmarks behind FROZEN cameras and thereby deleting the anchor
+        # constraints (observed as 100m+ block drift in block-coordinate
+        # BA). Each newly-violated observation costs a large constant, so
+        # such steps are rejected.
+        n_behind = jnp.sum((prob.obs_ok & ~ok).astype(jnp.float32))
+        return cost + 1e3 * n_behind
 
     O_ = prob.obs_cam.shape[1]
     from ..kernels import schur as schur_kernel
 
     if use_kernel is None:
-        use_kernel = schur_kernel.available(C, P, O_)
+        use_kernel = schur_kernel.available(C, P, O_) and prob.lm_opt is None
+    elif use_kernel and prob.lm_opt is not None:
+        raise ValueError(
+            "the fused Pallas Schur kernel has no frozen-landmark path; "
+            "call solve_ba with use_kernel=False for lm_opt problems"
+        )
 
     def _reduce_jnp(R, t, xyz, lam):
         """Reference einsum reduction (CPU path / kernel fallback)."""
@@ -304,6 +321,9 @@ def solve_ba(
         w, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
         # freeze non-optimized cameras by zeroing their pose Jacobians
         J_c = jnp.where(prob.cam_opt[jnp.clip(prob.obs_cam, 0, C - 1)][..., None, None], J_c, 0.0)
+        if prob.lm_opt is not None:
+            # frozen landmarks: observations act as pose-only edges
+            J_l = jnp.where(prob.lm_opt[:, None, None, None], J_l, 0.0)
 
         # landmark blocks
         Hll = jnp.einsum("poki,po,pokj->pij", J_l, w, J_l)       # [P,3,3]

@@ -68,7 +68,9 @@ def _lm_machinery(
     def cost_of(R, t, xyz):
         r, _, _, ok = _residuals(prob, R, t, xyz, fx, fy, cx, cy, bf)
         _, cost, _ = _robust_weights(r, prob.obs_w, ok, delta2)
-        return cost
+        # cheirality penalty — see local_ba.solve_ba's cost_of
+        n_behind = jnp.sum((prob.obs_ok & ~ok).astype(jnp.float32))
+        return cost + 1e3 * n_behind
 
     def seg6(cam, vals):
         """Segment-sum [P,O,...] observation values into [C] camera rows."""
@@ -90,16 +92,18 @@ def _lm_machinery(
     if n_ch == 1:
         Pc = P
 
-    def slab_terms(cam_s, uv_s, w_s, ok_s, ur_s, xyz_s, d2_s, R, t, lam):
+    def slab_terms(cam_s, uv_s, w_s, ok_s, ur_s, xyz_s, d2_s, lo_s, R, t, lam):
         """One landmark slab: per-slab factors + camera-side accumulators."""
         sp = prob._replace(
             obs_cam=cam_s, obs_uv=uv_s, obs_w=w_s, obs_ok=ok_s,
-            obs_ur=ur_s, xyz=xyz_s,
+            obs_ur=ur_s, xyz=xyz_s, lm_opt=lo_s,
         )
         r, J_c, J_l, ok = _residuals(sp, R, t, xyz_s, fx, fy, cx, cy, bf)
         w, cost, _ = _robust_weights(r, w_s, ok, d2_s)
         opt_of_obs = prob.cam_opt[jnp.clip(cam_s, 0, C - 1)]
         J_c = jnp.where(opt_of_obs[..., None, None], J_c, 0.0)
+        if sp.lm_opt is not None:
+            J_l = jnp.where(sp.lm_opt[:, None, None, None], J_l, 0.0)
         cam = jnp.clip(cam_s, 0, C)                 # C = pad row (sliced off)
 
         # --- landmark blocks (identical math to solve_ba) ----------------
@@ -131,7 +135,7 @@ def _lm_machinery(
         if n_ch == 1:
             cost, Hll_inv, g_l, Y, g_c, Hcc, g_red, Dsub = slab_terms(
                 prob.obs_cam, prob.obs_uv, prob.obs_w, prob.obs_ok,
-                ur, xyz, delta2, R, t, lam,
+                ur, xyz, delta2, prob.lm_opt, R, t, lam,
             )
         else:
             def resh(x):
@@ -143,13 +147,14 @@ def _lm_machinery(
                 resh(ur) if ur is not None else None,
                 resh(xyz),
                 None if jnp.ndim(delta2) == 0 else resh(delta2),
+                resh(prob.lm_opt) if prob.lm_opt is not None else None,
             )
 
             def body(acc, sl):
-                cam_s, uv_s, w_s, ok_s, ur_s, xyz_s, d2_s = sl
+                cam_s, uv_s, w_s, ok_s, ur_s, xyz_s, d2_s, lo_s = sl
                 out = slab_terms(
                     cam_s, uv_s, w_s, ok_s, ur_s, xyz_s,
-                    delta2 if d2_s is None else d2_s, R, t, lam,
+                    delta2 if d2_s is None else d2_s, lo_s, R, t, lam,
                 )
                 cost, hli, gl, y, gc, hcc, gr, ds = out
                 a = (acc[0] + cost, acc[1] + gc, acc[2] + hcc,
