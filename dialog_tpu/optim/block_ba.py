@@ -290,6 +290,14 @@ def block_bundle_adjustment(
     blocks are fully independent, so each half-step loses nothing to
     parallelism.
     """
+    if mesh is not None:
+        n_dev = 1
+        for d in mesh.devices.shape:
+            n_dev *= d
+        if n_blocks % n_dev != 0:
+            # the block axis must tile the mesh exactly; an indivisible
+            # count runs unsharded rather than failing
+            mesh = None
     for _ in range(rounds):
         for parity in (0, 1):
             probs, cam_own, dropped = build_block_problems(

@@ -572,6 +572,28 @@ class Engine:
         poses = self.final_poses()
         save_kitti(path, [p[0] for p in poses], [p[1] for p in poses])
 
+    def save_keyframe_trajectory_tum(self, path: str) -> None:
+        """Keyframe poses only, ordered by insertion number.
+
+        Reference: System::SaveKeyFrameTrajectoryTUM — the sparse trajectory
+        evaluators use when per-frame poses are not wanted.
+        """
+        from .eval.trajectory import save_tum
+
+        valid = np.asarray(self.m.kfs.valid)
+        seq = np.asarray(self.m.kfs.seq)
+        ts = np.asarray(self.m.kfs.timestamp)
+        kf_R = np.asarray(self.m.kfs.R)
+        kf_t = np.asarray(self.m.kfs.t)
+        slots = np.nonzero(valid)[0]
+        slots = slots[np.argsort(seq[slots])]
+        save_tum(
+            path,
+            [float(ts[s]) for s in slots],
+            [kf_R[s] for s in slots],
+            [kf_t[s] for s in slots],
+        )
+
     def save_checkpoint(self, path: str) -> None:
         save_map(self.m, path)
 
@@ -620,6 +642,35 @@ class Engine:
             self._vocab_trained_kfs = 0
         else:
             self.state = NOT_INITIALIZED
+
+    def block_refine(
+        self,
+        n_blocks: int = 8,
+        rounds: int = 2,
+        iters: int = 6,
+        cams_pb: int = 64,
+        lms_pb: int = 4096,
+    ) -> None:
+        """Parallel keyframe-block map refinement (large-scale SfM mode).
+
+        Partitions the map into contiguous keyframe blocks and runs
+        block-coordinate BA with the block axis sharded over the device
+        mesh (optim/block_ba) — the offline/large-map counterpart of the
+        loop-closure GBA. Call when tracking is idle (it synchronously
+        rewrites poses/landmarks).
+        """
+        from .optim.block_ba import block_bundle_adjustment
+
+        self.flush()
+        self.m = block_bundle_adjustment(
+            self.m, self.cfg, n_blocks=n_blocks, rounds=rounds, iters=iters,
+            cams_pb=cams_pb, lms_pb=lms_pb, mesh=self.mesh, stats=self.stats,
+        )
+        self._last_R = np.asarray(self.m.kfs.R[self.ref_kf])
+        self._last_t = np.asarray(self.m.kfs.t[self.ref_kf])
+        self._vel = None
+        self._dev_state = None
+        self._refresh_kf_meta_blocking()
 
     def set_localization_mode(self, on: bool) -> None:
         """Freeze the map; track only (reference: ActivateLocalizationMode)."""

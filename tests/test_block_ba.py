@@ -190,3 +190,22 @@ class TestBlockBA:
         np.testing.assert_allclose(
             np.asarray(m1.lms.xyz)[lv], np.asarray(m8.lms.xyz)[lv], atol=5e-3
         )
+
+
+class TestEngineBlockRefine:
+    def test_engine_facade(self):
+        from dialog_tpu.system import Engine
+
+        m, t_gt, _ = corridor_map(block_local=True, n_blocks=4)
+        eng = Engine(CFG)
+        eng.m = m
+        eng.kf_count = N_KF
+        eng.ref_kf = N_KF - 1
+        err0 = _pose_err(eng.m, t_gt)
+        eng.block_refine(n_blocks=4, rounds=2, iters=8, cams_pb=32, lms_pb=1024)
+        err1 = _pose_err(eng.m, t_gt)
+        assert err1 < err0 / 2.5, (err0, err1)
+        # tracking anchors re-based on the refined map
+        np.testing.assert_allclose(
+            eng._last_t, np.asarray(eng.m.kfs.t[eng.ref_kf]), atol=1e-6
+        )

@@ -71,3 +71,26 @@ class TestResetAndExport:
         n = int([l for l in lines if l.startswith("element vertex")][0].split()[-1])
         assert n > 100
         assert len(lines) == lines.index("end_header") + 1 + n
+
+
+def test_save_keyframe_trajectory(tmp_path):
+    """Reference: System::SaveKeyFrameTrajectoryTUM — keyframe-only export."""
+    from dialog_tpu.config import EngineConfig
+    from dialog_tpu.datasets import synth
+    from dialog_tpu.system import Engine
+
+    cfg = EngineConfig(max_features=512, max_frames_between_kf=6)
+    scene = synth.make_scene(seed=2, n_points=4000, n_frames=40, cfg=cfg)
+    eng = Engine(cfg)
+    for i in range(40):
+        fr, _ = synth.observe(scene, i, noise_px=0.5)
+        eng.track_features(fr, float(i) / 30.0)
+    eng.flush()
+    p = tmp_path / "kf_traj.txt"
+    eng.save_keyframe_trajectory_tum(str(p))
+    lines = [l for l in p.read_text().splitlines() if l and not l.startswith("#")]
+    assert len(lines) == eng.kf_count
+    assert all(len(l.split()) == 8 for l in lines)
+    # timestamps strictly increasing (ordered by insertion number)
+    tss = [float(l.split()[0]) for l in lines]
+    assert all(b > a for a, b in zip(tss, tss[1:]))
