@@ -128,6 +128,29 @@ def run_kitti(args) -> None:
         times.append(time.perf_counter() - t0)
     eng.flush()
     _finish(eng, times, args.out, "kitti")
+    if getattr(args, "gt", None):
+        # KITTI odometry devkit metrics (no alignment needed: relative)
+        import numpy as np
+
+        from .eval.ate import ate_rmse
+        from .eval.rpe import kitti_odometry_errors
+
+        gt_R, gt_t = kitti.load_poses_full(args.gt)
+        poses = eng.final_poses()
+        n = min(len(poses), len(gt_R))
+        est_R = np.stack([p[0] for p in poses[:n]])
+        est_t = np.stack([p[1] for p in poses[:n]])
+        t_err, r_err, n_seg = kitti_odometry_errors(
+            est_R, est_t, gt_R[:n], gt_t[:n]
+        )
+        C_est = -np.einsum("nij,ni->nj", est_R, est_t)
+        C_gt = -np.einsum("nij,ni->nj", gt_R[:n], gt_t[:n])
+        print(
+            f"KITTI devkit ({n_seg} segments): translation "
+            f"{t_err * 100:.2f} % | rotation "
+            f"{np.degrees(r_err) * 100:.4f} deg/100m | "
+            f"ATE RMSE {ate_rmse(C_est, C_gt):.2f} m"
+        )
 
 
 def run_euroc(args) -> None:
@@ -225,6 +248,10 @@ def main(argv=None) -> None:
     k.add_argument("--frames", type=int)
     k.add_argument("--out")
     k.add_argument("--pipelined", action="store_true")
+    k.add_argument(
+        "--gt", help="devkit poses file (3x4/line): print KITTI odometry "
+        "metrics + ATE",
+    )
     k.set_defaults(fn=run_kitti)
 
     e = sub.add_parser("run-euroc", help="run a EuRoC MAV sequence (mono or stereo)")

@@ -50,3 +50,16 @@ def load_poses(path: str) -> np.ndarray:
     """Ground-truth poses file (3x4 row-major per line) -> positions [N, 3]."""
     P = np.loadtxt(path).reshape(-1, 3, 4)
     return P[:, :, 3]
+
+
+def load_poses_full(path: str):
+    """Full ground-truth poses as world->camera (R [N,3,3], t [N,3]).
+
+    The devkit file stores camera-to-world T_wc per line; the engine's
+    convention (and eval.rpe's input) is world->camera, so invert.
+    """
+    P = np.loadtxt(path).reshape(-1, 3, 4).astype(np.float32)
+    R_wc, C = P[:, :, :3], P[:, :, 3]
+    R_cw = np.transpose(R_wc, (0, 2, 1))
+    t_cw = -np.einsum("nij,nj->ni", R_cw, C)
+    return R_cw, t_cw

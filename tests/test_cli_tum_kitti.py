@@ -77,6 +77,14 @@ def kitti_dir(tmp_path_factory):
     (root / "times.txt").write_text(
         "\n".join(f"{i * 0.1:.6e}" for i in range(N)) + "\n"
     )
+    # devkit-format ground truth (camera-to-world 3x4 per line)
+    rows = []
+    for i in range(N):
+        R_wc = scene.R[i].T
+        C = -scene.R[i].T @ scene.t[i]
+        P = np.hstack([R_wc, C[:, None]])
+        rows.append(" ".join(f"{x:.6e}" for x in P.reshape(-1)))
+    (root.parent / "00_gt.txt").write_text("\n".join(rows) + "\n")
     return str(root)
 
 
@@ -150,9 +158,10 @@ class TestKittiLoader:
             "ORBextractor.nFeatures: 300\n"
         )
         out = tmp_path / "traj.txt"
+        gt = os.path.join(os.path.dirname(kitti_dir), "00_gt.txt")
         cli_main([
             "run-kitti", kitti_dir, "--settings", str(yaml),
-            "--out", str(out),
+            "--out", str(out), "--gt", gt,
         ])
         printed = capsys.readouterr().out
         assert "tracked" in printed
@@ -162,3 +171,6 @@ class TestKittiLoader:
         assert all(len(l.split()) == 12 for l in lines)
         # stereo initializes on the very first frame
         assert "keyframes: 0" not in printed
+        # devkit metric line prints (6 frames < 100 m -> 0 segments, but the
+        # ATE against the devkit-format ground truth is real)
+        assert "KITTI devkit" in printed and "ATE RMSE" in printed
