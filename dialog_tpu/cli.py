@@ -34,7 +34,7 @@ def _timing_stats(times: list[float]) -> str:
     )
 
 
-def _finish(eng, times, out_path, fmt, gt_positions=None):
+def _finish(eng, times, out_path, fmt, gt_positions=None, render=None):
     print(_timing_stats(times))
     states = [r.state for r in eng.trajectory]
     n_ok = sum(1 for s in states if s == "OK")
@@ -52,6 +52,11 @@ def _finish(eng, times, out_path, fmt, gt_positions=None):
         n = min(len(idx), len(gt_positions))
         err = ate_rmse(eng.positions[idx[:n]], gt_positions[:n])
         print(f"ATE RMSE (scale-aligned): {err * 100:.2f} cm")
+    if render:
+        from .eval.render import render_map
+
+        render_map(eng, render, gt_positions=gt_positions)
+        print(f"map render -> {render}")
 
 
 def run_tum(args) -> None:
@@ -94,7 +99,7 @@ def run_tum(args) -> None:
         _, gt = tum.load_groundtruth(args.seq)
     except FileNotFoundError:
         pass
-    _finish(eng, times, args.out, "tum", gt)
+    _finish(eng, times, args.out, "tum", gt, render=getattr(args, "render", None))
 
 
 def run_kitti(args) -> None:
@@ -127,7 +132,7 @@ def run_kitti(args) -> None:
             eng.track_stereo(left, right, ts)
         times.append(time.perf_counter() - t0)
     eng.flush()
-    _finish(eng, times, args.out, "kitti")
+    _finish(eng, times, args.out, "kitti", render=getattr(args, "render", None))
     if getattr(args, "gt", None):
         # KITTI odometry devkit metrics (no alignment needed: relative)
         import numpy as np
@@ -191,7 +196,7 @@ def run_euroc(args) -> None:
         _, gt = euroc.load_groundtruth(args.seq)
     except (FileNotFoundError, OSError):
         pass
-    _finish(eng, times, args.out, "tum", gt)
+    _finish(eng, times, args.out, "tum", gt, render=getattr(args, "render", None))
 
 
 def run_synth(args) -> None:
@@ -225,6 +230,11 @@ def run_synth(args) -> None:
     )
     if args.out:
         eng.save_trajectory_tum(args.out)
+    if getattr(args, "render", None):
+        from .eval.render import render_map
+
+        render_map(eng, args.render, gt_positions=gt)
+        print(f"map render -> {args.render}")
 
 
 def main(argv=None) -> None:
@@ -237,6 +247,7 @@ def main(argv=None) -> None:
     t.add_argument("--rgbd", action="store_true")
     t.add_argument("--frames", type=int)
     t.add_argument("--out")
+    t.add_argument("--render", help="render map+trajectory to an image file")
     t.add_argument("--pipelined", action="store_true",
                    help="throughput mode: resolve results a few frames behind")
     t.set_defaults(fn=run_tum)
@@ -247,6 +258,7 @@ def main(argv=None) -> None:
     k.add_argument("--mono", action="store_true")
     k.add_argument("--frames", type=int)
     k.add_argument("--out")
+    k.add_argument("--render", help="render map+trajectory to an image file")
     k.add_argument("--pipelined", action="store_true")
     k.add_argument(
         "--gt", help="devkit poses file (3x4/line): print KITTI odometry "
@@ -260,12 +272,14 @@ def main(argv=None) -> None:
     e.add_argument("--mono", action="store_true")
     e.add_argument("--frames", type=int)
     e.add_argument("--out")
+    e.add_argument("--render", help="render map+trajectory to an image file")
     e.set_defaults(fn=run_euroc)
 
     s = sub.add_parser("run-synth", help="run a synthetic sequence")
     s.add_argument("--frames", type=int)
     s.add_argument("--trajectory", default="sweep", choices=["sweep", "loop"])
     s.add_argument("--out")
+    s.add_argument("--render", help="render map+trajectory to an image file")
     s.set_defaults(fn=run_synth)
 
     b = sub.add_parser("bench", help="run the benchmark harness")

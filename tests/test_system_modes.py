@@ -94,3 +94,23 @@ def test_save_keyframe_trajectory(tmp_path):
     # timestamps strictly increasing (ordered by insertion number)
     tss = [float(l.split()[0]) for l in lines]
     assert all(b > a for a, b in zip(tss, tss[1:]))
+
+
+def test_map_render(tmp_path):
+    """Offline viewer (reference: Viewer/MapDrawer, demoted per plan)."""
+    from dialog_tpu.config import EngineConfig
+    from dialog_tpu.datasets import synth
+    from dialog_tpu.eval.render import render_map
+    from dialog_tpu.system import Engine
+
+    cfg = EngineConfig(max_features=512, max_frames_between_kf=8)
+    scene = synth.make_scene(seed=3, n_points=3000, n_frames=24, cfg=cfg)
+    eng = Engine(cfg)
+    for i in range(24):
+        fr, _ = synth.observe(scene, i, noise_px=0.5)
+        eng.track_features(fr, float(i) / 30.0)
+    eng.flush()
+    p = tmp_path / "map.png"
+    gt = np.stack([-scene.R[i].T @ scene.t[i] for i in range(24)])
+    render_map(eng, str(p), gt_positions=gt)
+    assert p.exists() and p.stat().st_size > 10_000
