@@ -97,7 +97,9 @@ def main() -> None:
     # once the dense reduced system stops being tractable
     if n_cams > DENSE_SCHUR_MAX_CAMS:
         def solve_ba(p, cfg, iters):
-            return solve_ba_pcg(p, cfg, iters=iters)
+            # sharded operands: construction chunking off (it would force a
+            # GSPMD reshard per slab; sharding already divides the footprint)
+            return solve_ba_pcg(p, cfg, iters=iters, chunk=False)
     else:
         solve_ba = solve_dense
     prob = make_sfm_problem(cfg, n_cams, n_pts)

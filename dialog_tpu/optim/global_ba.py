@@ -285,7 +285,10 @@ def global_bundle_adjustment(
     if prob.cam_slots.shape[0] > DENSE_SCHUR_MAX_CAMS:
         from .schur_pcg import solve_ba_pcg
 
-        R, t, xyz, _ = solve_ba_pcg(prob, cfg, iters=iters, chi2_th=cfg.chi2_mono)
+        R, t, xyz, _ = solve_ba_pcg(
+            prob, cfg, iters=iters, chi2_th=cfg.chi2_mono,
+            chunk=mesh is None,
+        )
     else:
         # never route a mesh-sharded problem into the Pallas kernel: its
         # pallas_call sees landmark-sharded operands without a shard_map

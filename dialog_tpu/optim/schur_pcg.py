@@ -50,6 +50,7 @@ def _lm_machinery(
     chi2_th,
     cg_iters: int,
     cg_tol: float = 1e-6,
+    chunk: bool = True,
 ):
     """Build (cost_of, body) closures for the PCG LM iteration.
 
@@ -85,10 +86,14 @@ def _lm_machinery(
     # [P, O, 6, 6]-class temporaries at once — measured 19.7 GB of HBM, an
     # OOM on a 16 GB chip. Slabs bound the transient footprint; only the
     # back-substitution factors (Y [P,O,6,3], Hll_inv, g_l) stay resident.
+    # chunking and mesh sharding are mutually exclusive: reshaping the
+    # sharded landmark axis to [n_ch, Pc] forces a GSPMD reshard per slab
+    # (and sharding already divides the transient footprint by the device
+    # count) — sharded callers pass chunk=False
     Pc = P
     while Pc > 16384 and Pc % 2 == 0:
         Pc //= 2
-    n_ch = P // Pc if P > 65536 else 1
+    n_ch = P // Pc if (chunk and P > 65536) else 1
     if n_ch == 1:
         Pc = P
 
@@ -258,7 +263,8 @@ def _lm_machinery(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "iters", "cg_iters", "return_cg_iters")
+    jax.jit,
+    static_argnames=("cfg", "iters", "cg_iters", "return_cg_iters", "chunk"),
 )
 def solve_ba_pcg(
     prob: BAProblem,
@@ -269,6 +275,7 @@ def solve_ba_pcg(
     cg_iters: int = 48,
     cg_tol: float = 1e-6,
     return_cg_iters: bool = False,
+    chunk: bool = True,
 ):
     """Damped LM with a matrix-free Schur PCG camera solve.
 
@@ -278,7 +285,7 @@ def solve_ba_pcg(
     (+ total CG iterations when ``return_cg_iters`` — one cross-shard
     all-reduce each on a sharded problem).
     """
-    cost_of, body = _lm_machinery(prob, cfg, chi2_th, cg_iters, cg_tol)
+    cost_of, body = _lm_machinery(prob, cfg, chi2_th, cg_iters, cg_tol, chunk)
     R_in = geo.orthogonalize(prob.R)
     cost0 = cost_of(R_in, prob.t, prob.xyz)
     R, t, xyz, _, cost, cg_total = jax.lax.fori_loop(
@@ -305,7 +312,9 @@ def lm_init_pcg(
     return R_in, prob.t, prob.xyz, jnp.float32(lam0), cost0, jnp.int32(0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_iters", "cg_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_iters", "cg_iters", "chunk")
+)
 def lm_steps_pcg(
     prob: BAProblem,
     cfg: EngineConfig,
@@ -314,6 +323,7 @@ def lm_steps_pcg(
     n_iters: int = 1,
     cg_iters: int = 48,
     cg_tol: float = 1e-6,
+    chunk: bool = True,
 ):
     """Advance the LM carry by ``n_iters`` iterations (identical math to
     ``solve_ba_pcg`` — one chunk of the asynchronously-overlapped GBA).
@@ -321,5 +331,5 @@ def lm_steps_pcg(
     The async GBA bounds its per-frame stall by truncating CG
     (``cg_iters``) and loosening ``cg_tol`` — inexact-Newton LM: a coarser
     camera solve per iteration, still guarded by the accept/reject rule."""
-    _, body = _lm_machinery(prob, cfg, chi2_th, cg_iters, cg_tol)
+    _, body = _lm_machinery(prob, cfg, chi2_th, cg_iters, cg_tol, chunk)
     return jax.lax.fori_loop(0, n_iters, body, carry)

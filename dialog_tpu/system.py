@@ -1450,6 +1450,7 @@ class Engine:
         g["carry"] = lm_steps_pcg(
             g["prob"], self.cfg, g["carry"], chi2_th=self.cfg.chi2_mono,
             cg_iters=g["cg_iters"], cg_tol=g["cg_tol"],
+            chunk=self.mesh is None,
         )
         g["left"] -= 1
         if g["left"] <= 0:

@@ -1,6 +1,7 @@
 """Batched pipelined tracking parity (one dispatch per B frames)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def _scene_frames():
 
 
 class TestBatchMode:
+    @pytest.mark.soak
     def test_parity_with_sync(self):
         frames, gt = _scene_frames()
         sync = Engine(CFG)

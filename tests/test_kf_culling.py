@@ -1,6 +1,7 @@
 """Keyframe culling behavior (reference: LocalMapping::KeyFrameCulling)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dialog_tpu.config import EngineConfig
@@ -15,6 +16,7 @@ CFG = EngineConfig(
 )
 
 
+@pytest.mark.soak
 class TestKeyframeCulling:
     def test_redundant_kfs_get_culled_and_tracking_survives(self):
         # a *static-ish* slow sweep creates heavily redundant keyframes
