@@ -72,7 +72,11 @@ def run_tum(args) -> None:
     )
     eng = Engine(cfg)
     times = []
-    it = tum.iter_rgbd(args.seq) if args.rgbd else tum.iter_mono(args.seq)
+    from .datasets.prefetch import prefetch
+
+    it = prefetch(
+        tum.iter_rgbd(args.seq) if args.rgbd else tum.iter_mono(args.seq)
+    )
     pipelined = getattr(args, "pipelined", False)
     for i, item in enumerate(it):
         if args.frames and i >= args.frames:
@@ -119,7 +123,11 @@ def run_kitti(args) -> None:
     )
     eng = Engine(cfg)
     times = []
-    it = kitti.iter_mono(args.seq) if args.mono else kitti.iter_stereo(args.seq)
+    from .datasets.prefetch import prefetch
+
+    it = prefetch(
+        kitti.iter_mono(args.seq) if args.mono else kitti.iter_stereo(args.seq)
+    )
     for i, item in enumerate(it):
         if args.frames and i >= args.frames:
             break
@@ -178,7 +186,11 @@ def run_euroc(args) -> None:
     )
     eng = Engine(cfg)
     times = []
-    it = euroc.iter_mono(args.seq) if args.mono else euroc.iter_stereo(args.seq)
+    from .datasets.prefetch import prefetch
+
+    it = prefetch(
+        euroc.iter_mono(args.seq) if args.mono else euroc.iter_stereo(args.seq)
+    )
     for i, item in enumerate(it):
         if args.frames and i >= args.frames:
             break

@@ -452,6 +452,13 @@ class Engine:
             self._close_loop_from(det_kf, cands)
         return out
 
+    def shutdown(self) -> None:
+        """Drain all in-flight work (reference: System::Shutdown — which
+        joins the threads and waits for a running GBA; here: resolve pending
+        batches/frames and run any in-flight loop-closure GBA to completion).
+        The engine remains usable afterwards."""
+        self.flush()
+
     def flush(self):
         """Drain the pipeline (call before reading trajectory / evaluating)."""
         while getattr(self, "_pending", None):

@@ -174,3 +174,30 @@ class TestKittiLoader:
         # devkit metric line prints (6 frames < 100 m -> 0 segments, but the
         # ATE against the devkit-format ground truth is real)
         assert "KITTI devkit" in printed and "ATE RMSE" in printed
+
+
+class TestPrefetcher:
+    def test_order_and_completion(self):
+        from dialog_tpu.datasets.prefetch import prefetch
+
+        out = list(prefetch(iter(range(100)), depth=3))
+        assert out == list(range(100))
+
+    def test_producer_exception_reraises(self):
+        from dialog_tpu.datasets.prefetch import prefetch
+
+        def gen():
+            yield 1
+            yield 2
+            raise ValueError("decode failed")
+
+        it = prefetch(gen(), depth=2)
+        got = []
+        try:
+            for x in it:
+                got.append(x)
+        except ValueError as e:
+            assert "decode failed" in str(e)
+        else:
+            raise AssertionError("producer exception was swallowed")
+        assert got == [1, 2]
