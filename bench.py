@@ -235,16 +235,19 @@ def main() -> None:
 
     def emit_primary() -> None:
         # the driver parses the FINAL stdout line: always the primary,
-        # keyframe-heavy mono workload — the conservative number
+        # keyframe-heavy mono workload — the conservative number. When the
+        # primary was not run (--only stereo, or it failed before
+        # recording), the fallback line is labeled by its ACTUAL workload,
+        # never mislabeled as the mono primary.
         if PRIMARY in results:
-            r = results[PRIMARY]
+            name, r = "tum_class_mono", results[PRIMARY]
         elif results:
-            r = next(iter(results.values()))
+            name, r = next(iter(results.items()))
         else:
             return
         _emit(
             {
-                "metric": "tracking_fps_tum_class_mono",
+                "metric": f"tracking_fps_{name}",
                 "value": r["value"],
                 "unit": "frames/s",
                 "vs_baseline": r["vs_baseline"],

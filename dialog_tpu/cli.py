@@ -74,9 +74,12 @@ def run_tum(args) -> None:
     times = []
     from .datasets.prefetch import prefetch
 
-    it = prefetch(
-        tum.iter_rgbd(args.seq) if args.rgbd else tum.iter_mono(args.seq)
-    )
+    import itertools
+
+    src = tum.iter_rgbd(args.seq) if args.rgbd else tum.iter_mono(args.seq)
+    if args.frames:
+        src = itertools.islice(src, args.frames)
+    it = prefetch(src)
     pipelined = getattr(args, "pipelined", False)
     for i, item in enumerate(it):
         if args.frames and i >= args.frames:
@@ -125,9 +128,12 @@ def run_kitti(args) -> None:
     times = []
     from .datasets.prefetch import prefetch
 
-    it = prefetch(
-        kitti.iter_mono(args.seq) if args.mono else kitti.iter_stereo(args.seq)
-    )
+    import itertools
+
+    src = kitti.iter_mono(args.seq) if args.mono else kitti.iter_stereo(args.seq)
+    if args.frames:
+        src = itertools.islice(src, args.frames)
+    it = prefetch(src)
     for i, item in enumerate(it):
         if args.frames and i >= args.frames:
             break
@@ -188,9 +194,12 @@ def run_euroc(args) -> None:
     times = []
     from .datasets.prefetch import prefetch
 
-    it = prefetch(
-        euroc.iter_mono(args.seq) if args.mono else euroc.iter_stereo(args.seq)
-    )
+    import itertools
+
+    src = euroc.iter_mono(args.seq) if args.mono else euroc.iter_stereo(args.seq)
+    if args.frames:
+        src = itertools.islice(src, args.frames)
+    it = prefetch(src)
     for i, item in enumerate(it):
         if args.frames and i >= args.frames:
             break
@@ -232,6 +241,7 @@ def run_synth(args) -> None:
         t0 = time.perf_counter()
         eng.track_features(fr, float(i) / 30.0)
         times.append(time.perf_counter() - t0)
+    eng.flush()   # drain pipeline + any in-flight async GBA before evaluating
     states = [r.state for r in eng.trajectory]
     idx = [i for i, s in enumerate(states) if s == "OK"]
     gt = np.stack([-scene.R[i].T @ scene.t[i] for i in idx])

@@ -66,24 +66,21 @@ def run(seed: int = 7) -> dict:
 
     def recall_for(voc, name):
         db = V.bow_db_rows(voc, d1, v1)
-        hits1 = hits5 = 0
+        hits1 = hits5 = n = 0
         for qi in range(len(lap2)):
-            q = V.bow_vector(voc, d2[qi], v2[qi])
-            s = np.asarray(V.bow_l1_scores(q, db))
-            order = np.argsort(-s)
             true = np.linalg.norm(c1 - c2[qi], axis=1) < radius
             if not true.any():
                 continue
+            n += 1
+            q = V.bow_vector(voc, d2[qi], v2[qi])
+            s = np.asarray(V.bow_l1_scores(q, db))
+            order = np.argsort(-s)
             hits1 += bool(true[order[0]])
             hits5 += bool(true[order[:5]].any())
-        n = sum(
-            bool((np.linalg.norm(c1 - c2[qi], axis=1) < radius).any())
-            for qi in range(len(lap2))
-        )
         return {
             "name": name,
-            "recall@1": round(hits1 / n, 3),
-            "recall@5": round(hits5 / n, 3),
+            "recall@1": round(hits1 / n, 3) if n else None,
+            "recall@5": round(hits5 / n, 3) if n else None,
             "n_queries": n,
         }
 

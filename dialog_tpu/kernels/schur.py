@@ -46,10 +46,18 @@ MAX_CAMS = 136    # C+1 above this: VMEM-budget bound, fall back to jnp path
 
 
 def _kernel(fx, fy, cx, cy, O, C1, use_stereo,
-            params_ref, camtab_ref, cam_ref, u_ref, v_ref, w_ref, ur_ref,
-            x_ref, y_ref, z_ref,
-            hllinv_ref, gl_ref, yout_ref, hcc_ref, gc_ref, gred_ref, s_ref,
-            z2_scr):
+            params_ref, camtab_ref, cam_ref, u_ref, v_ref, w_ref, *rest):
+    # the uR observation plane exists only for stereo problems: a mono
+    # problem never streams (or DMAs) a dead [1, O*TP] plane per grid step
+    if use_stereo:
+        (ur_ref, x_ref, y_ref, z_ref,
+         hllinv_ref, gl_ref, yout_ref, hcc_ref, gc_ref, gred_ref, s_ref,
+         z2_scr) = rest
+    else:
+        (x_ref, y_ref, z_ref,
+         hllinv_ref, gl_ref, yout_ref, hcc_ref, gc_ref, gred_ref, s_ref,
+         z2_scr) = rest
+        ur_ref = None
     i = pl.program_id(0)
     lam = params_ref[0, 0]
     delta2 = params_ref[0, 1]
@@ -340,9 +348,6 @@ def schur_reduce(
     u_t = obs_major(obs_uv[..., 0], 0.0)
     v_t = obs_major(obs_uv[..., 1], 0.0)
     w_t = obs_major(obs_w, 0.0)
-    ur_t = obs_major(
-        obs_ur if use_stereo else jnp.full((P, O), -1.0, jnp.float32), -1.0
-    )
     xyz_p = jnp.pad(xyz, ((0, Pp - P), (0, 0)))
     x_t = xyz_p[:, 0].reshape(Pt, 1, TP)
     y_t = xyz_p[:, 1].reshape(Pt, 1, TP)
@@ -357,21 +362,27 @@ def schur_reduce(
     ).reshape(1, 4)
 
     kernel = functools.partial(_kernel, fx, fy, cx, cy, O, C1, use_stereo)
+    obs_plane = pl.BlockSpec(
+        (1, 1, O * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    lm_plane = pl.BlockSpec(
+        (1, 1, TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((16, C1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        obs_plane, obs_plane, obs_plane, obs_plane,
+    ]
+    inputs = [params, camtab, cam_t, u_t, v_t, w_t]
+    if use_stereo:
+        in_specs.append(obs_plane)
+        inputs.append(obs_major(obs_ur, -1.0))
+    in_specs += [lm_plane, lm_plane, lm_plane]
+    inputs += [x_t, y_t, z_t]
     hllinv, gl, yout, hcc, gc, gred, s2 = pl.pallas_call(
         kernel,
         grid=(Pt,),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((16, C1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, O * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, O * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, O * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, O * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, O * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, 9 * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 3 * TP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -392,7 +403,7 @@ def schur_reduce(
         ],
         scratch_shapes=[pltpu.VMEM((6 * C1, 3 * TP), jnp.float32)],
         interpret=interpret_mode(),
-    )(params, camtab, cam_t, u_t, v_t, w_t, ur_t, x_t, y_t, z_t)
+    )(*inputs)
 
     # --- reconstruct jnp-layout outputs --------------------------------
     Hll_inv = hllinv.reshape(Pt, 9, TP).transpose(0, 2, 1).reshape(Pp, 3, 3)[:P]

@@ -82,11 +82,29 @@ def build_block_problems(
         m.kfs.valid, jnp.minimum(rank_of // blk_size, n_blocks - 1), -1
     )                                                    # i32[K]
 
-    # landmark ownership = reference keyframe's block
+    # landmark ownership = reference keyframe's block; landmarks whose
+    # reference keyframe was culled (kf_block = -1) re-anchor to the lowest
+    # block among their live observers — otherwise they would silently drop
+    # out of every block's objective (neither owned nor boundary)
     lm_ref = jnp.clip(m.lms.ref_kf, 0, K - 1)
-    lm_block = jnp.where(
+    ref_blk = jnp.where(
         m.lms.valid & (m.lms.ref_kf >= 0), kf_block[lm_ref], -1
     )                                                    # i32[L]
+    obs_all_ok = m.kfs.feat_valid & (m.kfs.obs_lm >= 0) & m.kfs.valid[:, None]
+    blk_of_row = jnp.where(
+        (kf_block >= 0)[:, None] & obs_all_ok, kf_block[:, None], n_blocks
+    )                                                    # i32[K, F]
+    obs_tgt = jnp.where(obs_all_ok, m.kfs.obs_lm, L).reshape(-1)
+    lm_obs_blk = (
+        jnp.full((L + 1,), n_blocks, jnp.int32)
+        .at[obs_tgt]
+        .min(blk_of_row.reshape(-1))
+    )[:L]
+    lm_block = jnp.where(
+        ref_blk >= 0,
+        ref_blk,
+        jnp.where(m.lms.valid & (lm_obs_blk < n_blocks), lm_obs_blk, -1),
+    )
 
     def build_one(b):
         owned_kf = kf_block == b                          # bool[K]
@@ -141,7 +159,9 @@ def build_block_problems(
         # keyframes stay frozen everywhere
         cam_opt = cam_valid & is_owner[safe_slot] & (rank_of[safe_slot] >= 2)
 
-        # observation bucketing: same rank-by-presence scheme as local BA
+        # observation bucketing: shared rank-by-presence core (local_ba)
+        from .local_ba import bucket_observations, dedupe_row_landmarks
+
         inv = jnp.full((L + 1,), P2, jnp.int32).at[lm_ids].set(
             jnp.arange(P2, dtype=jnp.int32), mode="drop"
         )
@@ -152,46 +172,13 @@ def build_block_problems(
             & (rows >= 0)
         )
         li = jnp.where(rows_ok, inv[jnp.clip(rows, 0, L - 1)], P2)
-        C = cams_pb
-        feat_ids = jnp.broadcast_to(
-            jnp.arange(F, dtype=jnp.int32)[None, :], (C, F)
-        )
-        cam_rows = jnp.broadcast_to(
-            jnp.arange(C, dtype=jnp.int32)[:, None], (C, F)
-        )
-        first_feat = jnp.full((C, P2 + 1), F, jnp.int32).at[
-            cam_rows, li
-        ].min(feat_ids)
-        li = jnp.where(
-            (li >= P2) | (feat_ids == first_feat[cam_rows, li]), li, P2
-        )
+        li = dedupe_row_landmarks(li, P2)
         # an observation whose camera AND landmark are both frozen
         # contributes nothing — drop it instead of burning an O slot
         both_frozen = (~cam_opt)[:, None] & ~lm_opt[jnp.clip(li, 0, P2 - 1)]
         li = jnp.where(both_frozen & (li < P2), P2, li)
-        flat_idx = (
-            jnp.arange(C, dtype=jnp.int32)[:, None] * (P2 + 1) + li
-        ).reshape(-1)
-        pres = (
-            jnp.zeros((C * (P2 + 1),), jnp.int32).at[flat_idx].add(1)
-        ).reshape(C, P2 + 1)
-        rank_tab = jnp.cumsum(pres, axis=0) - pres
-        rank = rank_tab.reshape(-1)[flat_idx].reshape(C, F)
-        keep = (li < P2) & (rank < O)
-        n_obs_over = jnp.sum((li < P2) & (rank >= O))
-        tgt_l = jnp.where(keep, li, P2).reshape(-1)
-        tgt_o = jnp.where(keep, rank, 0).reshape(-1)
-        cam_of = cam_rows.reshape(-1)
-        feat_of = feat_ids.reshape(-1)
-        obs_cam = jnp.full((P2, O), C, jnp.int32).at[tgt_l, tgt_o].set(
-            cam_of, mode="drop"
-        )
-        obs_feat = jnp.zeros((P2, O), jnp.int32).at[tgt_l, tgt_o].set(
-            feat_of, mode="drop"
-        )
-        obs_ok = jnp.zeros((P2, O), bool).at[tgt_l, tgt_o].set(
-            keep.reshape(-1), mode="drop"
-        )
+        C = cams_pb
+        obs_cam, obs_feat, obs_ok, n_obs_over = bucket_observations(li, P2, O)
         safe_cam = jnp.clip(obs_cam, 0, C - 1)
         obs_uv = m.kfs.uv[safe_slot][safe_cam, obs_feat]
         obs_oct = m.kfs.octave[safe_slot][safe_cam, obs_feat]
@@ -290,40 +277,47 @@ def block_bundle_adjustment(
     blocks are fully independent, so each half-step loses nothing to
     parallelism.
     """
-    if mesh is not None:
-        n_dev = 1
-        for d in mesh.devices.shape:
-            n_dev *= d
-        if n_blocks % n_dev != 0:
-            # the block axis must tile the mesh exactly; an indivisible
-            # count runs unsharded rather than failing
-            mesh = None
-    for _ in range(rounds):
+    import math
+
+    for rnd in range(rounds):
         for parity in (0, 1):
             probs, cam_own, dropped = build_block_problems(
                 m, cfg, n_blocks, cams_pb, lms_pb
             )
-            if stats is not None:
+            if stats is not None and parity == 0:
+                # once per round — both half-steps rebuild the same caps
                 stats["block_ba_obs_dropped"] = stats.get(
                     "block_ba_obs_dropped", 0
                 ) + int(dropped)
-            if mesh is not None:
-                axis = tuple(mesh.axis_names)
-                probs = jax.tree_util.tree_map(
+            # only the active parity's blocks are SOLVED (the inactive half
+            # would be solved and discarded — half the dominant cost)
+            pp = jax.tree_util.tree_map(
+                lambda x: x[parity::2] if x is not None else None, probs
+            )
+            own_p = cam_own[parity::2]
+            n_active = pp.cam_slots.shape[0]
+            sub = None
+            if mesh is not None and n_active > 1:
+                devs = mesh.devices.reshape(-1)
+                use = math.gcd(n_active, len(devs))
+                if use > 1:
+                    sub = Mesh(devs[:use], ("blocks",))
+            if sub is not None:
+                pp = jax.tree_util.tree_map(
                     lambda x: jax.device_put(
                         x,
                         NamedSharding(
-                            mesh, P(*((axis,) + (None,) * (x.ndim - 1)))
+                            sub, P(*(("blocks",) + (None,) * (x.ndim - 1)))
                         ),
                     ),
-                    probs,
+                    pp,
                 )
-            R, t, xyz, _ = _solve_blocks(probs, cfg, iters)
-            if mesh is not None:
+            R, t, xyz, _ = _solve_blocks(pp, cfg, iters)
+            if sub is not None:
                 dev = jax.devices()[0]
-                probs = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, dev), probs
+                pp = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, dev), pp
                 )
                 R, t, xyz = jax.device_put((R, t, xyz), dev)
-            m = _write_back_blocks(m, probs, cam_own, R, t, xyz, cfg, parity=parity)
+            m = _write_back_blocks(m, pp, own_p, R, t, xyz, cfg, parity=-1)
     return m

@@ -50,19 +50,25 @@ def build_global_problem(m: MapState, cfg: EngineConfig):
     rows_ok = m.kfs.valid[:, None] & m.kfs.feat_valid & (m.kfs.obs_lm >= 0)
     safe = jnp.clip(m.kfs.obs_lm, 0, L - 1)
     li_flat = jnp.where(rows_ok & m.lms.valid[safe], safe, L).reshape(-1)
-    # composite (landmark, keyframe) sort key: duplicates of one landmark
-    # within one keyframe row (possible after fusion's global replace —
-    # ADVICE r4) land adjacent and all but the first are dropped. L*K stays
-    # under 2^31 at every preset (KITTI00: 262144 * 2048 = 5.4e8).
+    # (landmark, keyframe)-lexicographic order with NO composite key (a
+    # li*K+cam key overflows i32 once max_landmarks*max_keyframes crosses
+    # 2^31): cam_flat = index // F is non-decreasing by construction, so a
+    # single STABLE argsort by landmark id preserves the keyframe order
+    # within each landmark group. Duplicates of one landmark within one
+    # keyframe row (possible after fusion's global replace — ADVICE r4)
+    # land adjacent and all but the first are dropped.
     cam_flat = (
         jnp.arange(K * F, dtype=jnp.int32) // F
     )
-    key = li_flat * K + jnp.where(li_flat < L, cam_flat, 0)
-    order = jnp.argsort(key)
+    order = jnp.argsort(li_flat, stable=True)
     sorted_li = li_flat[order]
-    sorted_key = key[order]
+    sorted_cam = cam_flat[order]
     dup = jnp.concatenate(
-        [jnp.zeros((1,), bool), sorted_key[1:] == sorted_key[:-1]]
+        [
+            jnp.zeros((1,), bool),
+            (sorted_li[1:] == sorted_li[:-1])
+            & (sorted_cam[1:] == sorted_cam[:-1]),
+        ]
     ) & (sorted_li < L)
     first = jnp.searchsorted(sorted_li, sorted_li, side="left")
     # rank among the NON-duplicate entries of the landmark's group, so a

@@ -62,6 +62,65 @@ class BAProblem(NamedTuple):
     lm_opt: jax.Array | None = None
 
 
+def dedupe_row_landmarks(li: jax.Array, P: int) -> jax.Array:
+    """Keep only the FIRST feature per (camera row, landmark) in li [C, F].
+
+    Landmark fusion's global replace can bind two features of one keyframe
+    to the same winning landmark (mapping.fuse_landmarks_into_kf); the
+    rank-by-presence bucketing below assumes at most one (ADVICE r4).
+    ``P`` is the sentinel for "no landmark"."""
+    C, F = li.shape
+    feat_ids = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :], (C, F))
+    cam_rows = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, F))
+    first_feat = jnp.full((C, P + 1), F, jnp.int32).at[cam_rows, li].min(feat_ids)
+    return jnp.where(
+        (li >= P) | (feat_ids == first_feat[cam_rows, li]), li, P
+    )
+
+
+def bucket_observations(li: jax.Array, P: int, O: int):
+    """Pack per-camera landmark bindings li [C, F] into fixed-width
+    per-landmark observation lists.
+
+    A feature's slot in its landmark's list = how many EARLIER cameras
+    observe that landmark (rank-by-presence cumsum — one scatter instead of
+    an argsort over [C*F], the costliest op class on TPU). Requires at most
+    one feature per landmark per row (``dedupe_row_landmarks``).
+
+    Returns (obs_cam i32[P, O] (C = pad), obs_feat i32[P, O],
+    obs_ok bool[P, O], n_over) — n_over counts observations beyond the O
+    cap (SURVEY.md §5 "no silent caps")."""
+    C, F = li.shape
+    flat_idx = (
+        jnp.arange(C, dtype=jnp.int32)[:, None] * (P + 1) + li
+    ).reshape(-1)
+    pres = (
+        jnp.zeros((C * (P + 1),), jnp.int32).at[flat_idx].add(1)
+    ).reshape(C, P + 1)
+    rank_tab = jnp.cumsum(pres, axis=0) - pres             # exclusive over C
+    rank = rank_tab.reshape(-1)[flat_idx].reshape(C, F)
+    keep = (li < P) & (rank < O)
+    n_over = jnp.sum((li < P) & (rank >= O))
+    tgt_l = jnp.where(keep, li, P).reshape(-1)
+    tgt_o = jnp.where(keep, rank, 0).reshape(-1)
+    cam_of = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[:, None], (C, F)
+    ).reshape(-1)
+    feat_of = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[None, :], (C, F)
+    ).reshape(-1)
+    obs_cam = jnp.full((P, O), C, jnp.int32).at[tgt_l, tgt_o].set(
+        cam_of, mode="drop"
+    )
+    obs_feat = jnp.zeros((P, O), jnp.int32).at[tgt_l, tgt_o].set(
+        feat_of, mode="drop"
+    )
+    obs_ok = jnp.zeros((P, O), bool).at[tgt_l, tgt_o].set(
+        keep.reshape(-1), mode="drop"
+    )
+    return obs_cam, obs_feat, obs_ok, n_over
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def build_problem(
     m: MapState, center_kf: jax.Array, cfg: EngineConfig
@@ -125,45 +184,8 @@ def build_problem(
         & (rows >= 0)
     )
     li = jnp.where(rows_ok, inv[jnp.clip(rows, 0, L - 1)], P)  # [C, F]
-    # dedupe within each camera row: landmark fusion's global replace can
-    # bind two features of one keyframe to the same (winning) landmark
-    # (mapping.fuse_landmarks_into_kf); the rank-by-presence bucketing below
-    # assumes at most one, so keep only the first feature per (cam, local
-    # landmark) via a scatter-min on the compact [C, P+1] table (ADVICE r4)
-    feat_ids = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :], (C, F))
-    cam_rows = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, F))
-    first_feat = jnp.full((C, P + 1), F, jnp.int32).at[cam_rows, li].min(feat_ids)
-    li = jnp.where((li >= P) | (feat_ids == first_feat[cam_rows, li]), li, P)
-    flat_idx = (
-        jnp.arange(C, dtype=jnp.int32)[:, None] * (P + 1) + li
-    ).reshape(-1)
-    pres = (
-        jnp.zeros((C * (P + 1),), jnp.int32)
-        .at[flat_idx]
-        .add(1)
-        .reshape(C, P + 1)
-    )
-    rank_tab = jnp.cumsum(pres, axis=0) - pres             # exclusive over C
-    rank = rank_tab.reshape(-1)[flat_idx].reshape(C, F)
-    keep = (li < P) & (rank < O)
-    tgt_l = jnp.where(keep, li, P).reshape(-1)
-    tgt_o = jnp.where(keep, rank, 0).reshape(-1)
-
-    cam_of = jnp.broadcast_to(
-        jnp.arange(C, dtype=jnp.int32)[:, None], (C, F)
-    ).reshape(-1)
-    feat_of = jnp.broadcast_to(
-        jnp.arange(F, dtype=jnp.int32)[None, :], (C, F)
-    ).reshape(-1)
-    obs_cam = jnp.full((P, O), C, jnp.int32).at[tgt_l, tgt_o].set(
-        cam_of, mode="drop"
-    )
-    obs_feat = jnp.full((P, O), 0, jnp.int32).at[tgt_l, tgt_o].set(
-        feat_of, mode="drop"
-    )
-    obs_ok = jnp.zeros((P, O), bool).at[tgt_l, tgt_o].set(
-        keep.reshape(-1), mode="drop"
-    )
+    li = dedupe_row_landmarks(li, P)
+    obs_cam, obs_feat, obs_ok, _ = bucket_observations(li, P, O)
 
     uv_all = m.kfs.uv[jnp.clip(cam_slots, 0, K - 1)]       # [C, F, 2]
     oct_all = m.kfs.octave[jnp.clip(cam_slots, 0, K - 1)]

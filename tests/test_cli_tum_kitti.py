@@ -201,3 +201,38 @@ class TestPrefetcher:
         else:
             raise AssertionError("producer exception was swallowed")
         assert got == [1, 2]
+
+    def test_exhausted_iterator_stays_stopped(self):
+        from dialog_tpu.datasets.prefetch import prefetch
+
+        it = prefetch(iter(range(5)), depth=2)
+        assert list(it) == [0, 1, 2, 3, 4]
+        assert list(it) == []        # iterator protocol: stays exhausted
+
+    def test_small_queue_still_terminates(self):
+        from dialog_tpu.datasets.prefetch import prefetch
+
+        # producer finishing against a FULL queue must still deliver _END
+        it = prefetch(iter(range(10)), depth=1)
+        import time
+        time.sleep(0.3)              # let the producer fill + finish racing
+        assert list(it) == list(range(10))
+
+    def test_close_unblocks_producer(self):
+        import threading
+        from dialog_tpu.datasets.prefetch import Prefetcher
+
+        state = {"released": False}
+
+        def gen():
+            try:
+                for i in range(10_000):
+                    yield i
+            finally:
+                state["released"] = True
+
+        with Prefetcher(gen(), depth=2) as it:
+            assert next(it) == 0
+        # close() ran: the producer stopped and the generator was released
+        assert state["released"]
+        assert threading.active_count() < 20
