@@ -209,3 +209,34 @@ class TestEngineBlockRefine:
         np.testing.assert_allclose(
             eng._last_t, np.asarray(eng.m.kfs.t[eng.ref_kf]), atol=1e-6
         )
+
+
+class TestOrphanedLandmarks:
+    def test_culled_ref_kf_landmarks_stay_in_problem(self):
+        """A landmark whose reference keyframe was culled must re-anchor to
+        an observing keyframe's block, not silently drop from every block."""
+        m, t_gt, _ = corridor_map()
+        # cull keyframe 10 without re-anchoring its landmarks (what
+        # cull_keyframes does to lms.ref_kf)
+        m = m._replace(
+            kfs=m.kfs._replace(valid=m.kfs.valid.at[10].set(False))
+        )
+        probs, cam_own, dropped = build_block_problems(
+            m, CFG, 8, cams_pb=24, lms_pb=512
+        )
+        lm_ids = np.asarray(probs.lm_ids)
+        lm_opt = np.asarray(probs.lm_opt)
+        owned = set(lm_ids[lm_opt & (lm_ids < CFG.max_landmarks)].tolist())
+        # keyframe 10's landmarks that still have LIVE observers (11..13)
+        # must remain owned by some block; ones visible only from the
+        # culled keyframe are correctly gone
+        obs = np.asarray(m.kfs.obs_lm)
+        fv = np.asarray(m.kfs.feat_valid)
+        kv = np.asarray(m.kfs.valid)
+        orphan_ids = {
+            lm
+            for lm in range(10 * LM_PER_KF, 11 * LM_PER_KF)
+            if any(kv[k] and ((obs[k] == lm) & fv[k]).any() for k in range(96))
+        }
+        assert orphan_ids, "fixture produced no observed orphans"
+        assert orphan_ids <= owned, sorted(orphan_ids - owned)[:5]
