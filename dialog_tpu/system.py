@@ -1433,7 +1433,7 @@ class Engine:
         self.stats["gba_runs"] += 1
         self.stats["gba_obs_dropped"] += int(n_dropped)
         if self.logger is not None and int(n_dropped):
-            self.logger.event("gba_obs_dropped", n=int(n_dropped))
+            self.logger.log_event("gba_obs_dropped", n=int(n_dropped))
         if self.mesh is not None:
             prob = shard_problem(prob, self.mesh)
         snap = GBASnapshot(self.m)

@@ -114,3 +114,30 @@ def test_map_render(tmp_path):
     gt = np.stack([-scene.R[i].T @ scene.t[i] for i in range(24)])
     render_map(eng, str(p), gt_positions=gt)
     assert p.exists() and p.stat().st_size > 10_000
+
+
+def test_runlogger_records_gba_event(tmp_path):
+    """Engine's saturation events reach the JSONL log (SURVEY §5 metrics)."""
+    import json
+
+    from dialog_tpu.config import EngineConfig
+    from dialog_tpu.datasets import synth
+    from dialog_tpu.instrument import RunLogger
+    from dialog_tpu.system import Engine
+
+    cfg = EngineConfig(max_features=512, max_frames_between_kf=6,
+                       max_obs_per_lm=4)
+    scene = synth.make_scene(seed=7, n_points=8000, n_frames=40,
+                             trajectory="loop", cfg=cfg, period=200)
+    eng = Engine(cfg)
+    eng.logger = RunLogger(str(tmp_path / "run.jsonl"))
+    for i in range(40):
+        fr, _ = synth.observe(scene, i, noise_px=0.5)
+        eng.track_features(fr, i / 30.0)
+    eng._start_gba(iters=1)     # exercise the event path directly
+    eng.flush()
+    eng.logger.close()
+    rows = [json.loads(l) for l in (tmp_path / "run.jsonl").read_text().splitlines()]
+    assert eng.stats["gba_runs"] == 1
+    if eng.stats["gba_obs_dropped"]:
+        assert any(r.get("event") == "gba_obs_dropped" for r in rows)
